@@ -1,0 +1,23 @@
+"""nusiprop_tpu — a TPU-native neutrino self-interaction cascade engine.
+
+Evolves an astrophysical neutrino flux from redshift ``zmax`` to ``z=0`` in
+the presence of scalar neutrino self-interactions with the cosmic neutrino
+background, matching the physics of the reference C++ implementation
+(quarkquartet/nuSIprop; arXiv:2107.13568) while being designed from scratch
+for TPUs: every kernel table is a vectorized JAX array program, the redshift
+march is a ``jax.lax.scan``, and parameter-grid scans batch via ``vmap`` and
+shard over device meshes via ``jax.sharding``.
+
+The engine requires float64 (the evolved flux spans ~60 decades); importing
+this package enables JAX x64 mode.
+"""
+
+import jax as _jax
+
+# The physics requires float64: the golden-configuration flux spans
+# 1e11 .. 1e-57 (cf. reference output/data_massless.txt), far beyond
+# float32 range. TPU executes f64 via emulation; the arrays are tiny and
+# throughput comes from batching, so this is the right default.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
