@@ -1,0 +1,99 @@
+"""Benchmark: redshift-steps/sec at 500 energy bins (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Runs on whatever platform JAX selects (the driver provides the real TPU).
+The workload is the BASELINE.json metric point: 500 energy bins spanning
+5 decades, zmax = 5 => N_steps_z = 79 (nuSIprop.hpp:124). The headline
+number is batched throughput — the engine's unit of work is a batched
+parameter-grid scan (one compiled launch evolving many (g, mphi) points),
+which is how the reference's serial scan loop is meant to be replaced.
+
+vs_baseline compares against the serial C++ reference wallclock per point.
+The reference repo publishes no numbers and does not compile here (GSL
+absent); ``native/serial_baseline`` is a faithful s-channel-only C++
+re-implementation (same algorithm, -O3) measured on this host — see
+BASELINE_MEASURED.json. Until that file exists, vs_baseline is reported
+as 0.0 (unknown).
+"""
+
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # Persistent compilation cache: the f64-emulated nested-scan program
+    # takes minutes to compile on the tunneled TPU; cache across runs.
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    import nusiprop_tpu as nu
+    from nusiprop_tpu.config import Config
+    from nusiprop_tpu.models import grids
+
+    cfg = Config(
+        N_bins_E=500,
+        lEmin=4.0,
+        lEmax=9.0,
+        zmax=5.0,
+        non_resonant=bool(int(os.environ.get("BENCH_NON_RESONANT", "0"))),
+        phiphi=False,
+    )
+    nz = grids.n_steps_z(cfg)
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    params = nu.param_grid(
+        np.geomspace(1e5, 1e8, batch), [1e-2], mntot=mntot, si=2.0, norm=6.0
+    )
+
+    # warmup/compile. NOTE: on the tunneled TPU, block_until_ready does not
+    # reliably block; a scalar reduction materialized to host is the only
+    # trustworthy fence, so all timings include that fence.
+    float(jnp.sum(nu.grid_scan(params, cfg).flux))
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    times = []
+    for r in range(reps):
+        p = jax.tree.map(lambda x: x * (1.0 + 1e-12 * (r + 1)), params)
+        t0 = time.perf_counter()
+        float(jnp.sum(nu.grid_scan(p, cfg).flux))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    zsteps_per_sec = (nz - 1) * batch / wall
+
+    baseline_file = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
+    vs_baseline = 0.0
+    if baseline_file.exists():
+        base = json.loads(baseline_file.read_text())
+        base_zsps = base.get("serial_cpp_zsteps_per_sec_500bins")
+        if base_zsps:
+            vs_baseline = zsteps_per_sec / base_zsps
+
+    print(
+        json.dumps(
+            {
+                "metric": "redshift-steps/sec at 500 energy bins",
+                "value": round(zsteps_per_sec, 3),
+                "unit": "z-steps/sec",
+                "vs_baseline": round(vs_baseline, 3),
+                "batch": batch,
+                "wall_sec_per_batch": round(wall, 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,4 +20,32 @@ import jax as _jax
 # throughput comes from batching, so this is the right default.
 _jax.config.update("jax_enable_x64", True)
 
+from nusiprop_tpu.api import Evolver, pyprop
+from nusiprop_tpu.config import Config, PhysicsParams
+from nusiprop_tpu.models.transport import (
+    EvolveResult,
+    check_energy_conservation,
+    evolve,
+)
+from nusiprop_tpu.parallel.scan import (
+    grid_scan,
+    param_grid,
+    sharded_grid_scan,
+    stack_params,
+)
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "Evolver",
+    "pyprop",
+    "EvolveResult",
+    "Config",
+    "PhysicsParams",
+    "evolve",
+    "check_energy_conservation",
+    "grid_scan",
+    "param_grid",
+    "sharded_grid_scan",
+    "stack_params",
+]

@@ -1,0 +1,198 @@
+"""User-facing API mirroring the reference Python wrapper.
+
+``Evolver`` (alias ``pyprop``) replicates the constructor signature,
+methods and behavioral quirks of the reference Cython class
+(nuSIprop.pyx:12-144): the un-evolved-flux warning, the
+``set_parameters`` reset, and the power-law-flattened log-energy
+interpolators. Unlike the reference it is a thin stateful veneer over the
+pure-functional engine — all heavy lifting is jitted JAX, compiled once
+per static configuration and reusable across parameter updates.
+"""
+
+import warnings
+
+import numpy as np
+
+from nusiprop_tpu.config import Config, PhysicsParams
+from nusiprop_tpu.models import transport
+from nusiprop_tpu.models.transport import EvolveResult
+
+
+class Evolver:
+    """Evolves an astrophysical neutrino flux with scalar self-interactions.
+
+    Mandatory parameters:
+      mphi   ---- Mediator mass [eV]
+      g      ---- Yukawa coupling (Lagrangian -(1/2) g psi-bar psi phi)
+      mntot  ---- Sum of neutrino masses [eV]
+      si     ---- Spectral index of the injected power-law flux
+
+    Optional parameters (defaults follow the reference Python wrapper,
+    nuSIprop.pyx:47-52):
+      norm            ---- Free-streaming flux normalization at 100 TeV [1]
+      majorana        ---- Majorana (True) vs Dirac (False) [True]
+      non_resonant    ---- Include non-s-channel contributions [True]
+      normal_ordering ---- Normal (True) vs inverted (False) ordering [True]
+      N_bins_E        ---- Number of log-uniform energy bins [300]
+      lEmin, lEmax    ---- log10 of the energy range bounds /eV [12, 17]
+      zmax            ---- Largest source redshift [5]
+      flav            ---- Flavor of interacting neutrinos 0=e 1=mu 2=tau [2]
+      phiphi          ---- Include double-scalar production [True]
+      source          ---- "dsnb" (reference-fork default) or "powerlaw"
+    """
+
+    def __init__(self, mphi, g, mntot, si, norm=1.0,
+                 majorana=True, non_resonant=True, normal_ordering=True,
+                 N_bins_E=300, lEmin=12.0, lEmax=17.0,
+                 zmax=5.0, flav=2, phiphi=True, source="dsnb"):
+        self.config = Config(
+            majorana=bool(majorana),
+            non_resonant=bool(non_resonant),
+            normal_ordering=bool(normal_ordering),
+            N_bins_E=int(N_bins_E),
+            lEmin=float(lEmin),
+            lEmax=float(lEmax),
+            zmax=float(zmax),
+            flav=int(flav),
+            phiphi=bool(phiphi),
+            source=source,
+        )
+        self.params = PhysicsParams.create(mphi, g, mntot, si, norm)
+        self._pp_tables = None
+        if self.config.phiphi and self.config.non_resonant:
+            from nusiprop_tpu.ops.interp import load_phiphi_tables
+
+            self._pp_tables = load_phiphi_tables()
+        self.evolved = False
+        self._result: EvolveResult | None = None
+
+    # -- parameter access (mirrors the public fields mphi,g,mntot,si,norm) --
+
+    def set_parameters(self, mphi=None, g=None, mntot=None, si=None,
+                       norm=None):
+        """Modify the physics parameters; invalidates the evolved flux."""
+        kw = dict(mphi=mphi, g=g, mntot=mntot, si=si, norm=norm)
+        updates = {k: v for k, v in kw.items() if v is not None}
+        if updates:
+            current = dict(
+                mphi=self.params.mphi, g=self.params.g,
+                mntot=self.params.mntot, si=self.params.si,
+                norm=self.params.norm,
+            )
+            current.update(updates)
+            self.params = PhysicsParams.create(**current)
+        self.evolved = False
+
+    @property
+    def mphi(self):
+        return float(self.params.mphi)
+
+    @mphi.setter
+    def mphi(self, v):
+        self.set_parameters(mphi=v)
+
+    @property
+    def g(self):
+        return float(self.params.g)
+
+    @g.setter
+    def g(self, v):
+        self.set_parameters(g=v)
+
+    @property
+    def mntot(self):
+        return float(self.params.mntot)
+
+    @mntot.setter
+    def mntot(self, v):
+        self.set_parameters(mntot=v)
+
+    @property
+    def si(self):
+        return float(self.params.si)
+
+    @si.setter
+    def si(self, v):
+        self.set_parameters(si=v)
+
+    @property
+    def norm(self):
+        return float(self.params.norm)
+
+    @norm.setter
+    def norm(self, v):
+        self.set_parameters(norm=v)
+
+    # -- main entry points ---------------------------------------------------
+
+    def evolve(self):
+        """Evolve the neutrino flux."""
+        self._result = transport.evolve(self.params, self.config,
+                                        pp_tables=self._pp_tables)
+        self.evolved = True
+        return self
+
+    def _require_evolved(self):
+        if not self.evolved or self._result is None:
+            warnings.warn(
+                "You have not evolved the neutrino flux! Zero flux will be returned."
+            )
+            return False
+        return True
+
+    def get_flux(self):
+        """Flux per mass eigenstate, shape (3, N_bins_E)."""
+        if not self._require_evolved():
+            return np.zeros((3, self.config.N_bins_E))
+        return np.asarray(self._result.flux)
+
+    def get_flux_fla(self):
+        """Flux per flavor {e, mu, tau}, shape (3, N_bins_E)."""
+        if not self._require_evolved():
+            return np.zeros((3, self.config.N_bins_E))
+        return np.asarray(self._result.flux_fla)
+
+    def get_energies(self):
+        """Energy bin centers [eV], shape (N_bins_E,)."""
+        from nusiprop_tpu.models import grids
+
+        return np.asarray(grids.build(self.config).E_nu)
+
+    def get_N_bins_E(self):
+        return self.config.N_bins_E
+
+    def check_energy_conservation(self):
+        """Relative total-energy drift vs free streaming."""
+        val = transport.check_energy_conservation(
+            self.params, self.config, pp_tables=self._pp_tables
+        )
+        self.evolved = True
+        self._result = transport.evolve(self.params, self.config,
+                                        pp_tables=self._pp_tables)
+        return float(val)
+
+    # -- interpolated flux access (nuSIprop.pyx:120-128) ----------------------
+
+    def _interp_flux(self, row, energy):
+        E = self.get_energies()
+        fla = self.get_flux_fla()[row]
+        si = float(self.params.si)
+        flat = fla * E**si
+        x = np.log10(np.asarray(energy))
+        return np.interp(x, np.log10(E), flat) / np.asarray(energy) ** si
+
+    def interp_flux_el(self, energy):
+        """nu_e flux at arbitrary energy [eV] (log-E linear interp)."""
+        return self._interp_flux(0, energy)
+
+    def interp_flux_mu(self, energy):
+        """nu_mu flux at arbitrary energy [eV]."""
+        return self._interp_flux(1, energy)
+
+    def interp_flux_ta(self, energy):
+        """nu_tau flux at arbitrary energy [eV]."""
+        return self._interp_flux(2, energy)
+
+
+# Drop-in alias matching the reference class name (nuSIprop.pyx:12)
+pyprop = Evolver

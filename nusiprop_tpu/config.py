@@ -1,0 +1,88 @@
+"""Configuration and parameter pytrees.
+
+The 14-parameter constructor of the reference (nuSIprop.hpp:61-68) splits
+naturally into two halves for a JAX engine:
+
+* ``Config`` — static, hashable settings that fix array shapes and compiled
+  branches (bin counts, orderings, channel toggles). Passed as a static
+  argument to jit; each distinct Config compiles once.
+* ``PhysicsParams`` — the five runtime-mutable physics parameters
+  (nuSIprop.hpp:173-174). A registered pytree: vmap/pjit batch over them,
+  which is how parameter-grid scans become one batched TPU launch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Static run configuration (reference ctor optional args).
+
+    Defaults mirror the reference *Python* wrapper defaults
+    (nuSIprop.pyx:47-52). Note the reference C++ ctor defaults differ
+    (phiphi=False there, nuSIprop.hpp:65); use ``Config.cpp_defaults()``
+    for those.
+    """
+
+    majorana: bool = True
+    non_resonant: bool = True
+    normal_ordering: bool = True
+    N_bins_E: int = 300
+    lEmin: float = 12.0
+    lEmax: float = 17.0
+    zmax: float = 5.0
+    flav: int = 2
+    phiphi: bool = False
+    # Source model: "dsnb" is the active source of the reference fork
+    # (Fermi-Dirac spectrum weighted by the core-collapse SN rate,
+    # nuSIprop.hpp:659-662); "powerlaw" is the upstream SFR power-law
+    # source (nuSIprop.hpp:648-657, commented out there).
+    source: str = "dsnb"
+
+    @classmethod
+    def cpp_defaults(cls, **kw) -> "Config":
+        """Defaults of the C++ constructor (nuSIprop.hpp:61-68)."""
+        base = dict(phiphi=False)
+        base.update(kw)
+        return cls(**base)
+
+    def __post_init__(self):
+        if self.flav not in (0, 1, 2):
+            raise ValueError(f"flav must be 0, 1 or 2, got {self.flav}")
+        if self.source not in ("dsnb", "powerlaw"):
+            raise ValueError(f"unknown source model {self.source!r}")
+        if self.N_bins_E < 2:
+            raise ValueError("need at least 2 energy bins")
+        if self.lEmax <= self.lEmin:
+            raise ValueError("lEmax must exceed lEmin")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PhysicsParams:
+    """Runtime-mutable physics parameters (nuSIprop.hpp:173-174).
+
+    All leaves are JAX scalars (or batched arrays of a common shape when
+    used under vmap):
+      mphi  — mediator mass [eV]
+      g     — Yukawa coupling
+      mntot — sum of neutrino masses [eV]
+      si    — spectral index of the injected power-law flux
+      norm  — free-streaming flux normalization at 100 TeV
+    """
+
+    mphi: jax.Array
+    g: jax.Array
+    mntot: jax.Array
+    si: jax.Array
+    norm: jax.Array
+
+    @classmethod
+    def create(cls, mphi, g, mntot, si, norm=1.0) -> "PhysicsParams":
+        as_f64 = lambda v: jnp.asarray(v, dtype=jnp.float64)
+        return cls(as_f64(mphi), as_f64(g), as_f64(mntot), as_f64(si), as_f64(norm))

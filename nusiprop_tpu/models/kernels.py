@@ -1,0 +1,213 @@
+"""Self-interaction kernel tables: absorption Gamma, same-bin regeneration
+alphaTilde, and bin-to-bin regeneration alpha.
+
+The reference computes these as ~(NE+Nz)^2/2 scalar calls into ~800 lines
+of closed-form channel integrals (nuSIprop.hpp:759-1520). Here each channel
+is an elementwise float64 JAX expression evaluated over whole bin-edge
+arrays at once: the absorption/same-bin tables are (3, NEXT) evaluations
+and the bin-to-bin table is a (3, NEXT, NEXT) evaluation, all fused by XLA
+into a single device program — this precompute is the dominant cost of an
+evolve() and is embarrassingly parallel, which is exactly what the VPU
+wants.
+
+Channel inventory (per eigenstate, cf. reference lines):
+  s                 — resonant Breit-Wigner           (:779-791, :956-970, :1264-1275)
+  t + u             — non-resonant                    (:796-816, :975-1069, :1280-1367)
+  t-u interference  —                                 (:818-840, :1071-1132, :1369-1425)
+  s-t interference  — needs complex dilogarithms      (:842-872, :1134-1186, :1427-1467)
+  s-u interference  — = s-t for Majorana, else 0      (:874-878, :1188-1192, :1469-1474)
+  phi-phi           — double scalar production        (:880-907, :1194-1213, :1476-1503)
+
+Every closed form carries the reference's Taylor-expansion guards and its
+"negative => 3-point Gauss-Legendre rescue" fallbacks, expressed as
+compute-both + jnp.where.
+
+Conventions: all dimensionless integration limits are in units of mphi^2,
+  splus/sminus   = +2 mn E / mphi^2 (absorption; source bins of alpha)
+  tplus/tminus   = -2 mn E / mphi^2 (regeneration target bins)
+
+RANGE SAFETY (TPU): the f64 emulation on TPU carries float32 exponent
+range (~1e+/-38). The reference's literal factor groupings overflow it
+(g^4 alone underflows for g < 1e-9; mphi^4/(2 mn) reaches 1e50 for a
+floored massless eigenstate). Each channel here therefore returns the
+reference value PRE-MULTIPLIED by mphi^2 (Gamma) or mphi^4 (alpha,
+alphaTilde) — cancelling those powers symbolically against the channel's
+own 1/mphi^k — and prefactors are evaluated in the order
+(g^2 / denom) * g^2 so no intermediate leaves the safe range. The table
+builders then apply only |U|^2 / (2 mn).
+"""
+
+import math
+
+import jax.numpy as jnp
+
+from nusiprop_tpu.ops import specfun as sf
+from nusiprop_tpu.ops.quadrature import GL3_W, GL3_X
+
+PI = math.pi
+
+
+def scalar_width(g, mphi, majorana: bool):
+    """Scalar decay width (nuSIprop.hpp:748-757)."""
+    if majorana:
+        return g * g * mphi / (16.0 * PI)
+    return g * g * mphi / (8.0 * PI)
+
+
+def _shift_near_minus1(t):
+    """Avoid exact division by zero at t == -1 (nuSIprop.hpp:949-954)."""
+    return jnp.where(jnp.abs(t + 1.0) < 1e-7, t + t * 1e-6, t)
+
+
+# ---------------------------------------------------------------------------
+# s-channel (resonant) closed forms
+# ---------------------------------------------------------------------------
+
+def gamma_s(sm, sp, g, mphi, ga):
+    """s-channel absorption integral over one bin (nuSIprop.hpp:779-791).
+
+    Returns mphi^2 * Gamma_s, without the |U|^2 weight and the 1/(2 mn)
+    prefactor (see RANGE SAFETY above).
+    """
+    gr = ga / mphi
+    pref = (g * g) / (32.0 * PI * ga) * (g * g)
+    logterm = jnp.log1p(
+        mphi * mphi / (mphi * mphi + ga * ga) * sp * (sp - 2.0)
+    ) - jnp.log1p(mphi * mphi / (mphi * mphi + ga * ga) * sm * (sm - 2.0))
+    d = sp - sm
+    taylor = 2.0 * mphi * (
+        gr * (1.0 + gr * gr + 2.0 * sm) / (1.0 + gr * gr) ** 2 * d
+        + gr / (1.0 + gr * gr) ** 2 * d * d
+    )
+    exact = 2.0 * mphi * sf.atandiff(mphi * (sp - 1.0) / ga, mphi * (sm - 1.0) / ga)
+    core = jnp.where(sp < 1e-5, taylor, exact)
+    return pref * (core + ga * logterm)
+
+
+def alphatilde_s(tm, tp, g, mphi, ga):
+    """s-channel same-bin regeneration, times mphi^4 (nuSIprop.hpp:956-965)."""
+    gr = ga / mphi
+    pref = (g * g) / (16.0 * PI * ga) * (g * g)
+    logterm = jnp.log1p(
+        mphi * mphi / (mphi * mphi + ga * ga) * tp * (tp + 2.0)
+    ) - jnp.log1p(mphi * mphi / (mphi * mphi + ga * ga) * tm * (tm + 2.0))
+    d = tp - tm
+    taylor = (
+        2.0
+        * mphi
+        * (1.0 + tm)
+        * (
+            -(gr * (1.0 + gr * gr - 2.0 * tm) * d) / (1.0 + gr * gr) ** 2
+            + gr * d * d / (1.0 + gr * gr) ** 2
+        )
+    )
+    exact = (
+        2.0
+        * mphi
+        * (1.0 + tm)
+        * sf.atandiff(mphi * (1.0 + tm) / ga, mphi * (1.0 + tp) / ga)
+    )
+    core = jnp.where(jnp.abs(tp) < 1e-5, taylor, exact)
+    return pref * (core + ga * logterm)
+
+
+def alpha_s(tm, tp, smp, spp, g, mphi, ga):
+    """s-channel bin-to-bin regeneration (nuSIprop.hpp:1264-1269).
+
+    Separable: (tm - tp) from the target bin times a resonance factor of
+    the source bin — the basis of the reference's alpha_cum fast path.
+    Returns mphi^4 * alpha_s.
+    """
+    gr = ga / mphi
+    pref = (g * g) / (8.0 * PI * ga) * (g * g) * mphi
+    d = spp - smp
+    taylor = (
+        gr * (1.0 + gr * gr + 2.0 * smp) / (1.0 + gr * gr) ** 2 * d
+        + gr / (1.0 + gr * gr) ** 2 * d * d
+    )
+    exact = sf.atandiff(mphi * (spp - 1.0) / ga, mphi * (smp - 1.0) / ga)
+    return pref * (tm - tp) * jnp.where(spp < 1e-5, taylor, exact)
+
+
+# ---------------------------------------------------------------------------
+# Table builders
+# ---------------------------------------------------------------------------
+
+def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
+                pp_tables=None):
+    """Absorption table: sum_j int_Em^Ep sigma_j dE / |U_f i|^2.
+
+    Em/Ep: (N,) extended bin edges; mn: (3,); Wf: (3,) = |U[flav]|^2.
+    Returns (N,).
+    """
+    ga = scalar_width(g, mphi, majorana)
+    mn_c = mn[:, None]
+    sp = 2.0 * mn_c * Ep[None, :] / (mphi * mphi)
+    sm = 2.0 * mn_c * Em[None, :] / (mphi * mphi)
+
+    tot = gamma_s(sm, sp, g, mphi, ga)
+    if non_resonant:
+        from nusiprop_tpu.models import kernels_nr
+
+        tot = tot + kernels_nr.gamma_nonresonant(
+            sm, sp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
+            pp_tables=pp_tables,
+        )
+    # channels return mphi^2 * Gamma_ch, so only |U|^2/(2 mn_j) remains
+    return jnp.sum(Wf[:, None] / (2.0 * mn_c) * tot, axis=0)
+
+
+def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
+                     phiphi, pp_tables=None):
+    """Same-bin regeneration table (N,)."""
+    ga = scalar_width(g, mphi, majorana)
+    mn_c = mn[:, None]
+    tp = -2.0 * mn_c * Ep[None, :] / (mphi * mphi)
+    tm = -2.0 * mn_c * Em[None, :] / (mphi * mphi)
+    tm = _shift_near_minus1(tm)
+    tp = _shift_near_minus1(tp)
+
+    tot = alphatilde_s(tm, tp, g, mphi, ga)
+    if not majorana:
+        tot = tot / 2.0  # one of the final Dirac neutrinos is sterile
+    if non_resonant:
+        from nusiprop_tpu.models import kernels_nr
+
+        tot = tot + kernels_nr.alphatilde_nonresonant(
+            tm, tp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
+            pp_tables=pp_tables,
+        )
+    return jnp.sum(Wf[:, None] / (2.0 * mn_c) * tot, axis=0)
+
+
+def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
+                pp_tables=None):
+    """Bin-to-bin regeneration table (N, N): rows = target bin, cols =
+    source bin, strictly-upper-triangular (source above target), zero
+    elsewhere — the march's masked contraction relies on those zeros.
+    """
+    ga = scalar_width(g, mphi, majorana)
+    N = Em.shape[0]
+    mn_c = mn[:, None, None]
+    # target-bin limits along rows
+    tp = -2.0 * mn_c * Ep[None, :, None] / (mphi * mphi)
+    tm = -2.0 * mn_c * Em[None, :, None] / (mphi * mphi)
+    tm = _shift_near_minus1(tm)
+    tp = _shift_near_minus1(tp)
+    # source-bin limits along cols
+    spp = 2.0 * mn_c * Ep[None, None, :] / (mphi * mphi)
+    smp = 2.0 * mn_c * Em[None, None, :] / (mphi * mphi)
+
+    tot = alpha_s(tm, tp, smp, spp, g, mphi, ga)
+    if not majorana:
+        tot = tot / 2.0
+    if non_resonant:
+        from nusiprop_tpu.models import kernels_nr
+
+        tot = tot + kernels_nr.alpha_nonresonant(
+            tm, tp, smp, spp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
+            pp_tables=pp_tables,
+        )
+    res = jnp.sum(Wf[:, None, None] / (2.0 * mn_c) * tot, axis=0)
+    # strictly upper triangular: source bin index > target bin index
+    return jnp.triu(res, k=1)

@@ -1,0 +1,100 @@
+"""Parameter-grid scans: vmap batching and mesh sharding.
+
+The reference workflow scans (g, mphi) points serially via
+set_parameters()+evolve() (nuSIprop.pyx:60-90, test.py:76-83). The
+TPU-native scaling axis is this parameter grid: a batched PhysicsParams
+pytree turns the whole scan into ONE compiled program whose inner
+3x3 solves and kernel contractions become batched matmuls, and
+`jax.sharding` splits the batch across ICI-connected chips with no
+per-step cross-device traffic (the points are independent; only the
+final gather of spectra moves data).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nusiprop_tpu.config import Config, PhysicsParams
+from nusiprop_tpu.models import transport
+
+
+def stack_params(points) -> PhysicsParams:
+    """Build a batched PhysicsParams from an iterable of (mphi, g, mntot,
+    si, norm) tuples or PhysicsParams."""
+    rows = []
+    for p in points:
+        if isinstance(p, PhysicsParams):
+            rows.append(p)
+        else:
+            rows.append(PhysicsParams.create(*p))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+
+
+def param_grid(mphi_vals, g_vals, mntot, si, norm=1.0) -> PhysicsParams:
+    """Dense (mphi x g) grid flattened to a batch, matching the reference's
+    exclusion-contour scan pattern."""
+    mm, gg = jnp.meshgrid(
+        jnp.asarray(mphi_vals, dtype=jnp.float64),
+        jnp.asarray(g_vals, dtype=jnp.float64),
+        indexing="ij",
+    )
+    n = mm.size
+    ones = jnp.ones((n,), dtype=jnp.float64)
+    return PhysicsParams(
+        mphi=mm.ravel(),
+        g=gg.ravel(),
+        mntot=ones * mntot,
+        si=ones * si,
+        norm=ones * norm,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _grid_scan_jit(params: PhysicsParams, cfg: Config, chunk_size: int):
+    f = lambda p: transport.evolve_core(p, cfg)
+    batch = params.mphi.shape[0]
+    if chunk_size and 0 < chunk_size < batch and batch % chunk_size == 0:
+        # chunked vmap: bounds peak memory of the (3, NEXT, NEXT)
+        # kernel-table intermediates at chunk_size x table size
+        chunked = jax.tree.map(
+            lambda x: x.reshape((batch // chunk_size, chunk_size) + x.shape[1:]),
+            params,
+        )
+        res = lax.map(jax.vmap(f), chunked)
+        return jax.tree.map(
+            lambda x: x.reshape((batch,) + x.shape[2:]), res
+        )
+    return jax.vmap(f)(params)
+
+
+def grid_scan(params: PhysicsParams, cfg: Config, chunk_size: int | None = None):
+    """Evolve a whole batch of parameter points in one compiled launch.
+
+    params leaves must share a leading batch axis. Returns an EvolveResult
+    whose array fields carry that batch axis.
+    """
+    return _grid_scan_jit(params, cfg, int(chunk_size or 0))
+
+
+def sharded_grid_scan(params: PhysicsParams, cfg: Config,
+                      mesh: Mesh | None = None, axis_name: str = "batch"):
+    """Shard the parameter batch across a device mesh and evolve.
+
+    Each device evolves its shard of scan points; results come back with
+    the same sharding (gather happens only if the caller materializes the
+    full array). Batch size must divide the mesh size.
+    """
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(jnp.array(devs).reshape(len(devs)), (axis_name,))
+    sharding = NamedSharding(mesh, P(axis_name))
+    params = jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+
+    f = jax.jit(
+        lambda p: jax.vmap(lambda q: transport.evolve_core(q, cfg))(p),
+        in_shardings=(sharding,),
+    )
+    return f(params)

@@ -1,0 +1,118 @@
+"""API-surface behavior: parity with the reference Python wrapper quirks."""
+
+import numpy as np
+import pytest
+
+import nusiprop_tpu as nu
+
+GOLDEN_KW = dict(
+    mphi=5e6, g=1e-6, mntot=float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3)),
+    si=2.0, norm=6, N_bins_E=40, lEmin=4, lEmax=9, zmax=5,
+    non_resonant=False, phiphi=False,
+)
+
+
+def test_unevolved_flux_warns_and_returns_zeros():
+    ev = nu.Evolver(**GOLDEN_KW)
+    with pytest.warns(UserWarning, match="not evolved"):
+        flx = ev.get_flux_fla()
+    assert flx.shape == (3, 40)
+    assert (flx == 0).all()
+
+
+def test_set_parameters_invalidates():
+    ev = nu.Evolver(**GOLDEN_KW)
+    ev.evolve()
+    assert ev.evolved
+    ev.set_parameters(g=2e-6)
+    assert not ev.evolved
+    assert ev.g == 2e-6
+    with pytest.warns(UserWarning):
+        ev.get_flux()
+
+
+def test_public_field_setters():
+    ev = nu.Evolver(**GOLDEN_KW)
+    ev.mphi = 6e5
+    ev.norm = 3.0
+    assert ev.mphi == 6e5 and ev.norm == 3.0
+    assert not ev.evolved
+
+
+def test_mass_vs_flavor_rotation_consistency():
+    ev = nu.Evolver(**GOLDEN_KW)
+    ev.evolve()
+    from nusiprop_tpu.models.mixing import pmns_sq
+
+    W = pmns_sq(True)
+    np.testing.assert_allclose(
+        ev.get_flux_fla(), W @ ev.get_flux(), rtol=1e-12
+    )
+    # unitarity: flavor-summed == mass-summed
+    np.testing.assert_allclose(
+        ev.get_flux_fla().sum(0), ev.get_flux().sum(0), rtol=1e-10
+    )
+
+
+def test_interp_flux_matches_bins():
+    ev = nu.Evolver(**GOLDEN_KW)
+    ev.evolve()
+    E = ev.get_energies()
+    fla = ev.get_flux_fla()
+    # at bin centers, interpolation must return the bin values
+    np.testing.assert_allclose(ev.interp_flux_el(E[5:10]), fla[0, 5:10], rtol=1e-10)
+    np.testing.assert_allclose(ev.interp_flux_mu(E[5:10]), fla[1, 5:10], rtol=1e-10)
+    np.testing.assert_allclose(ev.interp_flux_ta(E[5:10]), fla[2, 5:10], rtol=1e-10)
+
+
+def test_pyprop_alias():
+    assert nu.pyprop is nu.Evolver
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        nu.Config(flav=5)
+    with pytest.raises(ValueError):
+        nu.Config(source="nope")
+    with pytest.raises(ValueError):
+        nu.Config(lEmin=9, lEmax=4)
+
+
+def test_grid_matches_reference_construction():
+    from nusiprop_tpu.config import Config
+    from nusiprop_tpu.models import grids
+
+    cfg = Config(N_bins_E=100, lEmin=4, lEmax=9, zmax=5, non_resonant=False,
+                 phiphi=False)
+    gr = grids.build(cfg)
+    # N_steps_z = ln(1+zmax)/ln(ratio) + 2 with int truncation
+    assert gr.N_steps_z == 17
+    # z grid locked to the bin ratio
+    ratio = gr.Emax[0] / gr.Emin[0]
+    np.testing.assert_allclose(1 + np.asarray(gr.z[1:]),
+                               np.asarray((1 + gr.z[:-1]) * ratio), rtol=1e-14)
+    # extended bins continue the top bin redshifted
+    ne, nz = 100, 17
+    assert gr.Emin_ext.shape == (ne + nz - 2,)
+    np.testing.assert_allclose(
+        gr.Emin_ext[ne + 3], gr.Emin[ne - 1] * (1 + gr.z[4]), rtol=1e-14
+    )
+
+
+def test_masses_bisection():
+    from nusiprop_tpu.models.masses import mass_spectrum
+
+    # NO with plenty of mass budget
+    mn = np.asarray(mass_spectrum(0.3, True))
+    assert abs(mn.sum() - 0.3) < 1e-12
+    assert abs((mn[1] ** 2 - mn[0] ** 2) - 7.42e-5) < 1e-12
+    assert abs((mn[2] ** 2 - mn[0] ** 2) - 2.514e-3) < 1e-12
+    # IO
+    mn = np.asarray(mass_spectrum(0.3, False))
+    assert abs(mn.sum() - 0.3) < 1e-12
+    assert abs((mn[1] ** 2 - mn[0] ** 2) - 7.42e-5) < 1e-10
+    assert mn[2] < mn[0] < mn[1]
+    # critical case: mntot at the NO minimum -> massless lightest (floored)
+    mn = np.asarray(mass_spectrum(float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3)), True))
+    assert mn[0] < 1e-9
+    assert mn[0] > 0
