@@ -200,11 +200,12 @@ def _li2_series_c(z):
 def li2c(z):
     """Principal-branch complex dilogarithm.
 
-    For arguments exactly on the cut (real x > 1) the limit from above is
-    returned: Im Li2(x + i0) = +pi*ln(x). This matches the gamma -> 0 limit
-    of the resonance-regulated companion arguments in the s-t interference
-    kernels (denominators 2 - i*gamma + t with gamma > 0), which approach
-    the real axis from above.
+    For arguments exactly on the cut (real x > 1) the limit from *below*
+    is returned: Im Li2(x - i0) = -pi*ln(x). This is the convention of
+    GSL's gsl_sf_complex_dilog_xy_e at y == 0 (and of Mathematica/mpmath),
+    which the reference relies on when it feeds exactly-real arguments to
+    its complex dilog differences (aux.hpp:91-94, nuSIprop.hpp:1444-1451).
+    Genuinely complex arguments are unaffected.
     """
     z = jnp.asarray(z, dtype=jnp.complex128)
     az = jnp.abs(z)
@@ -220,10 +221,11 @@ def li2c(z):
     val = jnp.where(refl, PI2_6 - jnp.log(safe_zi) * jnp.log(safe_1mzi) - s, s)
     # inversion: Li2(z) = -pi^2/6 - Log(-z)^2/2 - Li2(1/z)
     # For z on the positive real axis the sign of Im(-z) is the sign of -0.0,
-    # which is implementation-defined; force the limit-from-above convention
-    # by rotating real z > 1 infinitesimally into the upper half-plane.
+    # which is implementation-defined; force the limit-from-below (GSL)
+    # convention by rotating real z > 1 infinitesimally into the lower
+    # half-plane.
     on_cut = big & (jnp.imag(z) == 0.0) & (jnp.real(z) > 0.0)
-    lnm = jnp.log(jnp.where(on_cut, -jnp.real(z) - 1e-300j, -safe_z))
+    lnm = jnp.log(jnp.where(on_cut, -jnp.real(z) + 1e-300j, -safe_z))
     return jnp.where(big, -PI2_6 - 0.5 * lnm * lnm - val, val)
 
 

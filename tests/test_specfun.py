@@ -82,13 +82,15 @@ class TestLi2Complex:
         err = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
         assert err.max() < 1e-13
 
-    def test_cut_limit_from_above(self):
-        # real x > 1: our convention is the limit from above (+i*pi*ln x)
+    def test_cut_limit_from_below(self):
+        # real x > 1: GSL's y==0 convention, the limit from below
+        # (Im = -pi ln x), cf. gsl_sf_complex_dilog_xy_e used at
+        # nuSIprop.hpp:1444-1451 and aux.hpp:91-94.
         xs = np.array([1.5, 3.0, 10.0, 1e4])
         got = np.asarray(sf.li2c(jnp.asarray(xs + 0j)))
-        ref = np.array([complex(mp.polylog(2, complex(x, 1e-30))) for x in xs])
+        ref = np.array([complex(mp.polylog(2, x)) for x in xs])
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-13
-        assert np.allclose(got.imag, np.pi * np.log(xs), rtol=1e-13)
+        assert np.allclose(got.imag, -np.pi * np.log(xs), rtol=1e-13)
 
     def test_matches_real_part(self):
         xs = np.array([-5.0, -1.0, 0.3, 0.9, 1.7, 25.0])
