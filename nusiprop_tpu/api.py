@@ -58,11 +58,13 @@ class Evolver:
             source=source,
         )
         self.params = PhysicsParams.create(mphi, g, mntot, si, norm)
+        # Load interpolation tables only when needed, like the reference
+        # ("for speed reasons", nuSIprop.hpp:59, 166-170).
         self._pp_tables = None
         if self.config.phiphi and self.config.non_resonant:
-            from nusiprop_tpu.ops.interp import load_phiphi_tables
+            from nusiprop_tpu.models import pp_tables
 
-            self._pp_tables = load_phiphi_tables()
+            self._pp_tables = pp_tables.load_default()
         self.evolved = False
         self._result: EvolveResult | None = None
 

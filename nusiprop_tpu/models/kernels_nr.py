@@ -35,6 +35,7 @@ Behavioral notes reproduced deliberately:
 
 import jax.numpy as jnp
 
+from nusiprop_tpu.ops import cplx as cp
 from nusiprop_tpu.ops import specfun as sf
 from nusiprop_tpu.ops.quadrature import gl3, gl3_2d, GL3_W, GL3_X
 
@@ -115,45 +116,38 @@ def gamma_tu(sm, sp, g):
 
 
 def gamma_st(sm, sp, g, gr):
-    """s-t interference (nuSIprop.hpp:842-872). gr = Gamma/mphi."""
-    sm_c = sm.astype(jnp.complex128)
-    sp_c = sp.astype(jnp.complex128)
-    grc = gr.astype(jnp.complex128) if hasattr(gr, "astype") else complex(gr)
-    den = 2.0j + grc
-    z1p = 1.0j * (1.0 + sp_c) / den
-    z1m = 1.0j * (1.0 + sm_c) / den
-    z2p = jnp.conj(z1p)
-    z2m = jnp.conj(z1m)
+    """s-t interference (nuSIprop.hpp:842-872). gr = Gamma/mphi.
+
+    Complex arithmetic runs on (re, im) float64 pairs (ops/cplx.py) so the
+    channel compiles for TPU (no complex dtypes). The reference's second
+    dilog pair is the conjugate of the first (z2 = conj(z1),
+    nuSIprop.hpp:849-850), so d2 = conj(d1) and the combination
+    Re d1 + Re d2 + gr (Im d2 - Im d1) collapses to 2 Re d1 - 2 gr Im d1.
+    """
+    den = cp.cx(gr, 2.0)  # 2i + gr
+    zero = jnp.zeros_like(sp)
+    z1p = cp.Cx(zero, 1.0 + sp) / den  # i (1+s) / (2i + gr)
+    z1m = cp.Cx(zero, 1.0 + sm) / den
 
     # Taylor branch for splus < 1e-5 (nuSIprop.hpp:853-861)
-    cl = jnp.log((1.0j + grc) / (2.0j + grc))
-    clb = jnp.log((-1.0j + grc) / (-2.0j + grc))
-    d1_taylor = (
-        sm_c * sm_c * (-0.5j / (1.0j + grc) - cl / 2.0)
-        + sm_c * cl
-        - sp_c * cl
-        + sp_c * sp_c * (1.0j / (1.0j + grc) + cl) / 2.0
-    )
-    d2_taylor = (
-        sm_c * sm_c * (0.5j / (-1.0j + grc) - clb / 2.0)
-        + sm_c * clb
-        - sp_c * clb
-        + sp_c * sp_c * (-1.0j / (-1.0j + grc) + clb) / 2.0
-    )
+    cl = cp.log(cp.cx(gr, 1.0) / den)  # log((i+gr)/(2i+gr))
+    a_m = cp.cx(0.0, -0.5) / cp.cx(gr, 1.0) - cl * 0.5
+    a_p = (cp.cx(0.0, 1.0) / cp.cx(gr, 1.0) + cl) * 0.5
+    d1_taylor = a_m * (sm * sm) + cl * sm - cl * sp + a_p * (sp * sp)
+
     small = sp < 1e-5
-    d1 = jnp.where(small, d1_taylor, sf.dilogdiff_complex(z1p, z1m))
-    d2 = jnp.where(small, d2_taylor, sf.dilogdiff_complex(z2p, z2m))
+    d1 = cp.where(small, d1_taylor, sf.dilogdiff_cx(z1p, z1m))
 
     gr2 = gr * gr
     l1psp = jnp.log1p(jnp.maximum(sp, 0.0))
     l1psm = jnp.log1p(jnp.maximum(sm, 0.0))
     pref = -(g * g) / (32.0 * PI * (1.0 + gr2)) * (g * g)
+    # angle(1 - conj(z1)) = -angle(1 - z1) (z1 is never exactly real)
     return pref * (
-        jnp.real(d1)
-        + jnp.real(d2)
-        + gr * (jnp.imag(d2) - jnp.imag(d1))
-        + 2.0 * gr * jnp.angle(1.0 - z2p) * l1psp
-        - 2.0 * gr * jnp.angle(1.0 - z2m) * l1psm
+        2.0 * d1.re
+        - 2.0 * gr * d1.im
+        - 2.0 * gr * cp.angle(1.0 - z1p) * l1psp
+        + 2.0 * gr * cp.angle(1.0 - z1m) * l1psm
         + jnp.log1p(4.0 / gr2) * (l1psm - l1psp)
         + jnp.log1p((sp - 1.0) ** 2 / gr2) * l1psp
         - jnp.log1p((sm - 1.0) ** 2 / gr2) * l1psm
@@ -378,58 +372,56 @@ def alphatilde_tu(tm, tp, g, *, majorana: bool):
 def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
     """s-t interference (nuSIprop.hpp:1134-1186). No rescue in the
     reference; negatives below 1e-11 * (g/mphi)^4 are tolerated there."""
-    grc = gr.astype(jnp.complex128) if hasattr(gr, "astype") else complex(gr)
-    tmc = tm.astype(jnp.complex128)
-    tpc = tp.astype(jnp.complex128)
-    den = 2.0j + grc
+    den = cp.cx(gr, 2.0)  # 2i + gr
+    den_t = cp.Cx(2.0 + tm, -gr * jnp.ones_like(tm))  # 2 - i gr + t-
+    zero = jnp.zeros_like(tm)
 
-    z1 = (-1.0j * (tmc - 1.0)) / den
-    z2 = 1.0 / (1.0 + tmc)
-    z3 = 1.0 / (2.0 - 1.0j * grc + tmc)
-    z4 = (1.0 + tmc - tpc) / (2.0 - 1.0j * grc + tmc)
-    z5 = (-1.0j * (tpc - 1.0)) / den
-    z6 = 1.0 - tpc / (1.0 + tmc)
-    z7 = 1.0 - tmc
-    z8 = 1.0 - tpc
+    z1 = cp.Cx(zero, -(tm - 1.0)) / den  # -i (t- - 1) / (2i + gr)
+    z2 = cp.cx(1.0 / (1.0 + tm))
+    z3 = 1.0 / den_t
+    z4 = cp.cx(1.0 + tm - tp) / den_t
+    z5 = cp.Cx(zero, -(tp - 1.0)) / den
+    z6 = cp.cx(1.0 - tp / (1.0 + tm))
+    z7 = cp.cx(1.0 - tm)
+    z8 = cp.cx(1.0 - tp)
 
-    # Taylor branch for -tplus < 1e-5 (nuSIprop.hpp:1151-1168)
-    delta_c = tpc / tmc
-    cl12 = jnp.log(1.0 - 1.0j / den)
-    clg = jnp.log((1.0j + grc) / den)
-    ltmc = jnp.log(tmc)
-    ltpc = jnp.log(jnp.where(tpc == 0.0, 1.0, tpc))
+    # Taylor branch for -tplus < 1e-5 (nuSIprop.hpp:1151-1168). Complex
+    # logs of the negative-real t's take the C convention clog(t + 0.0i)
+    # = ln|t| + i*pi, which the Cx pair type reproduces via atan2.
+    delta = tp / tm
+    cl12 = cp.log(1.0 - cp.cx(0.0, 1.0) / den)
+    clg = cp.log(cp.cx(gr, 1.0) / den)
+    ltmc = cp.log(cp.cx(tm))
+    ltpc = cp.log(cp.cx(jnp.where(tp == 0.0, 1.0, tp)))
     d_z7z8_t = (
-        tmc * (ltmc - 1.0) + tmc * tmc * (2.0 * ltmc - 1.0) / 4.0
-        - (tpc * (ltpc - 1.0) + tpc * tpc * (2.0 * ltpc - 1.0) / 4.0)
+        (ltmc - 1.0) * tm + (ltmc * 2.0 - 1.0) * (tm * tm / 4.0)
+        - ((ltpc - 1.0) * tp + (ltpc * 2.0 - 1.0) * (tp * tp / 4.0))
     )
-    d_z5z1_t = (tpc - tmc) * cl12 + (
-        (tpc * tpc - tmc * tmc)
-        * (1.0j * (1.0 + cl12) + cl12 * grc)
-    ) / (2.0 * (1.0j + grc))
-    cld = jnp.log(delta_c)
+    d_z5z1_t = cl12 * (tp - tm) + (
+        (cp.Cx(-(1.0 + cl12).im, (1.0 + cl12).re) + cl12 * gr)
+        * (tp * tp - tm * tm)
+    ) / (cp.cx(gr, 1.0) * 2.0)
+    cld = cp.log(cp.cx(delta))
+    d2_, d3_ = delta * delta, delta ** 3
     d_z2z6_t = (
-        (tpc * (-1.0 + delta_c - cld + ltpc - delta_c * ltpc)) / delta_c
-        + (tpc * tpc * (-1.0 + delta_c * delta_c + 2.0 * cld - 2.0 * ltpc
-                        + 4.0 * delta_c * ltpc
-                        - 2.0 * delta_c * delta_c * ltpc))
-        / (4.0 * delta_c * delta_c)
-        + (tpc ** 3 * (7.0 - 9.0 * delta_c + 2.0 * delta_c ** 3 - 6.0 * cld
-                       + 6.0 * ltpc - 18.0 * delta_c * ltpc
-                       + 18.0 * delta_c * delta_c * ltpc
-                       - 6.0 * delta_c ** 3 * ltpc))
-        / (18.0 * delta_c ** 3)
+        (cp.cx(-1.0 + delta) - cld + ltpc - ltpc * delta) * (tp / delta)
+        + (cp.cx(-1.0 + d2_) + cld * 2.0 - ltpc * 2.0 + ltpc * (4.0 * delta)
+           - ltpc * (2.0 * d2_)) * (tp * tp / (4.0 * d2_))
+        + (cp.cx(7.0 - 9.0 * delta + 2.0 * d3_) - cld * 6.0 + ltpc * 6.0
+           - ltpc * (18.0 * delta) + ltpc * (18.0 * d2_)
+           - ltpc * (6.0 * d3_)) * (tp ** 3 / (18.0 * d3_))
     )
+    i_term = cp.cx(1.0 + delta) / cp.cx(gr, 1.0) - 2.0 / den
     d_z4z3_t = (
-        ((delta_c - 1.0) * tpc * clg) / delta_c
-        + ((delta_c - 1.0) * tpc * tpc
-           * (1.0j * ((1.0 + delta_c) / (1.0j + grc) - 2.0 / den)
-              + (delta_c - 1.0) * clg)) / (2.0 * delta_c * delta_c)
+        clg * ((delta - 1.0) * tp / delta)
+        + (cp.Cx(-i_term.im, i_term.re) + clg * (delta - 1.0))
+        * ((delta - 1.0) * tp * tp / (2.0 * d2_))
     )
     small = -tp < 1e-5
-    d_z7z8 = jnp.where(small, d_z7z8_t, sf.dilogdiff_complex(z7, z8))
-    d_z5z1 = jnp.where(small, d_z5z1_t, sf.dilogdiff_complex(z5, z1))
-    d_z2z6 = jnp.where(small, d_z2z6_t, sf.dilogdiff_complex(z2, z6))
-    d_z4z3 = jnp.where(small, d_z4z3_t, sf.dilogdiff_complex(z4, z3))
+    d_z7z8 = cp.where(small, d_z7z8_t, sf.dilogdiff_cx(z7, z8))
+    d_z5z1 = cp.where(small, d_z5z1_t, sf.dilogdiff_cx(z5, z1))
+    d_z2z6 = cp.where(small, d_z2z6_t, sf.dilogdiff_cx(z2, z6))
+    d_z4z3 = cp.where(small, d_z4z3_t, sf.dilogdiff_cx(z4, z3))
 
     gr2 = gr * gr
     l1mtm = jnp.log1p(-tm)
@@ -437,24 +429,24 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
     l1dt = _log1p(tm - tp)
     pref = (g * g) / (32.0 * PI * (1.0 + gr2)) * (g * g)
 
-    arg_m = jnp.angle(-1.0 + 1.0j * grc - tmc)  # carg(-1 + i gr - t)
-    arg_p = jnp.angle(-1.0 + 1.0j * grc - tpc)
-    arg_rm = jnp.angle((grc + 1.0j * (1.0 + tmc)) / den)
-    arg_rp = jnp.angle((grc + 1.0j * (1.0 + tpc)) / den)
+    gr_a = gr * jnp.ones_like(tm)
+    arg_m = jnp.arctan2(gr_a, -1.0 - tm)   # carg(-1 + i gr - t)
+    arg_p = jnp.arctan2(gr_a, -1.0 - tp)
+    arg_rm = cp.angle(cp.Cx(gr_a, 1.0 + tm) / den)
+    arg_rp = cp.angle(cp.Cx(gr_a, 1.0 + tp) / den)
 
     if majorana:
         return pref * (
             2.0 * PI * arg_m
             - 2.0 * PI * arg_p
-            + 2.0 * gr * (jnp.imag(d_z5z1) + jnp.imag(d_z2z6) + jnp.imag(d_z4z3))
-            - 2.0 * (jnp.real(d_z5z1) + jnp.real(d_z2z6) + jnp.real(d_z4z3)
-                     + jnp.real(d_z7z8))
+            + 2.0 * gr * (d_z5z1.im + d_z2z6.im + d_z4z3.im)
+            - 2.0 * (d_z5z1.re + d_z2z6.re + d_z4z3.re + d_z7z8.re)
             - arg_rm * (2.0 * PI + 2.0 * gr * l1mtm)
             + arg_rp * (2.0 * PI + 2.0 * gr * l1mtp)
             + (arg_m - arg_p) * (4.0 * gr * tm + 2.0 * gr * l1mtm)
-            + 2.0 * gr * (jnp.angle(1.0 + tmc)
-                          - jnp.angle(2.0 - 1.0j * grc + tmc)
-                          + jnp.angle(1.0 - 1.0j * grc + tpc)) * l1dt
+            + 2.0 * gr * (jnp.arctan2(jnp.zeros_like(tm), 1.0 + tm)
+                          - jnp.arctan2(-gr_a, 2.0 + tm)
+                          + jnp.arctan2(-gr_a, 1.0 + tp)) * l1dt
             + _ln(4.0 + gr2) * (l1mtp - l1mtm)
             + _ln(gr2 + (2.0 + tm) ** 2) * l1dt
             - 2.0 * l1mtm * _ln(-tp)
@@ -472,8 +464,8 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
                         - jnp.log1p((1.0 + tm) ** 2 / gr2)))
         )
     return pref * (
-        gr * jnp.imag(d_z5z1)
-        - 2.0 * jnp.real(d_z5z1 + d_z7z8)
+        gr * d_z5z1.im
+        - 2.0 * (d_z5z1 + d_z7z8).re
         + 2.0 * arg_rm * (-PI - gr * l1mtm)
         + 2.0 * arg_m * (PI + gr * tm + gr * l1mtm)
         - 2.0 * arg_p * (PI + gr * tm + gr * l1mtm)
@@ -721,11 +713,11 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
             - jnp.log1p((smp_s - 1.0) ** 2 / gr2)
         ) * (tm - tp + jnp.log1p(-tm) - jnp.log1p(-tp))
 
-    grc = gr.astype(jnp.complex128) if hasattr(gr, "astype") else complex(gr)
-    tmc = tm.astype(jnp.complex128)
-    tpc = tp.astype(jnp.complex128)
-    dm = 2.0 - 1.0j * grc + tmc
-    dp = 2.0 - 1.0j * grc + tpc
+    # Complex pieces on (re, im) pairs — no complex dtypes (TPU).
+    shape = jnp.broadcast_shapes(jnp.shape(tm), jnp.shape(smp_s))
+    gr_a = jnp.broadcast_to(gr * jnp.ones(()), shape)
+    dm = cp.Cx(jnp.broadcast_to(2.0 + tm, shape), -gr_a)  # 2 - i gr + t-
+    dp = cp.Cx(jnp.broadcast_to(2.0 + tp, shape), -gr_a)
 
     def li2_gsl_real(x):
         """GSL gsl_sf_complex_dilog_xy_e(x, 0): Im = -pi ln x for x >= 1."""
@@ -737,15 +729,13 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
     z3re, z3im = li2_gsl_real((1.0 + spp_s + tm) / (1.0 + tm))
     z5re, z5im = li2_gsl_real((1.0 + smp_s + tp) / (1.0 + tp))
     z7re, z7im = li2_gsl_real((1.0 + spp_s + tp) / (1.0 + tp))
-    z2 = sf.li2c((1.0 + smp_s + tmc) / dm)
-    z4 = sf.li2c((1.0 + spp_s + tmc) / dm)
-    z6 = sf.li2c((1.0 + smp_s + tpc) / dp)
-    z8 = sf.li2c((1.0 + spp_s + tpc) / dp)
+    z2 = sf.li2cx(cp.cx(1.0 + smp_s + tm) / dm)
+    z4 = sf.li2cx(cp.cx(1.0 + spp_s + tm) / dm)
+    z6 = sf.li2cx(cp.cx(1.0 + smp_s + tp) / dp)
+    z8 = sf.li2cx(cp.cx(1.0 + spp_s + tp) / dp)
 
-    im_combo = (z1im - jnp.imag(z2) - z3im + jnp.imag(z4)
-                - z5im + jnp.imag(z6) + z7im - jnp.imag(z8))
-    re_combo = (z1re - jnp.real(z2) - z3re + jnp.real(z4)
-                - z5re + jnp.real(z6) + z7re - jnp.real(z8))
+    im_combo = (z1im - z2.im - z3im + z4.im - z5im + z6.im + z7im - z8.im)
+    re_combo = (z1re - z2.re - z3re + z4.re - z5re + z6.re + z7re - z8.re)
 
     # carg(-(1/(1+t))): in C this negates a *real* double before the
     # implicit complex conversion, so the imaginary part is +0.0 and the
@@ -753,12 +743,12 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
     # would produce -0.0j and flip the angle to -pi.)
     arg_inv_tm = jnp.where(1.0 + tm > 0.0, PI, 0.0)
     arg_inv_tp = jnp.where(1.0 + tp > 0.0, PI, 0.0)
-    arg_sm_tm = jnp.angle(-((-1.0 + 1.0j * grc + smp_s) / dm))
-    arg_sp_tm = jnp.angle(-((-1.0 + 1.0j * grc + spp_s) / dm))
-    arg_sm_tp = jnp.angle(-((-1.0 + 1.0j * grc + smp_s) / dp))
-    arg_sp_tp = jnp.angle(-((-1.0 + 1.0j * grc + spp_s) / dp))
-    arg_sm = jnp.angle(-1.0 + 1.0j * grc + smp_s)
-    arg_sp = jnp.angle(-1.0 + 1.0j * grc + spp_s)
+    arg_sm_tm = cp.angle(-(cp.Cx(jnp.broadcast_to(smp_s - 1.0, shape), gr_a) / dm))
+    arg_sp_tm = cp.angle(-(cp.Cx(jnp.broadcast_to(spp_s - 1.0, shape), gr_a) / dm))
+    arg_sm_tp = cp.angle(-(cp.Cx(jnp.broadcast_to(smp_s - 1.0, shape), gr_a) / dp))
+    arg_sp_tp = cp.angle(-(cp.Cx(jnp.broadcast_to(spp_s - 1.0, shape), gr_a) / dp))
+    arg_sm = jnp.arctan2(gr_a, smp_s - 1.0)
+    arg_sp = jnp.arctan2(gr_a, spp_s - 1.0)
 
     l_sm_tm = _log1p(smp_s + tm)
     l_sp_tm = _log1p(spp_s + tm)

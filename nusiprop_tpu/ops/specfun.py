@@ -27,10 +27,14 @@ Provided:
 
 import jax.numpy as jnp
 
+from nusiprop_tpu.ops import cplx as cp
+
 __all__ = [
     "li2",
     "li3",
     "li2c",
+    "li2cx",
+    "dilogdiff_cx",
     "atandiff",
     "dilogdiff",
     "dilogdiff_complex",
@@ -227,6 +231,76 @@ def li2c(z):
     on_cut = big & (jnp.imag(z) == 0.0) & (jnp.real(z) > 0.0)
     lnm = jnp.log(jnp.where(on_cut, -jnp.real(z) + 1e-300j, -safe_z))
     return jnp.where(big, -PI2_6 - 0.5 * lnm * lnm - val, val)
+
+
+# ---------------------------------------------------------------------------
+# TPU-compilable complex dilogarithm on (re, im) float64 pairs.
+# TPUs reject complex dtypes, so the s-t interference kernels use these
+# pair-based versions; they mirror li2c / dilogdiff_complex exactly.
+# ---------------------------------------------------------------------------
+
+def _li2_series_cx(z):
+    """Bernoulli series for Li2 on Cx pairs; needs |Log(1-z)| < 2*pi."""
+    w = cp.log(1.0 - z)
+    w = cp.Cx(-w.re, -w.im)
+    w2 = w * w
+    s = cp.cx(jnp.zeros_like(w.re))
+    for c in reversed(LI2_C):
+        s = (s + c) * w2
+    return w - (w * w) * 0.25 + s * w
+
+
+def li2cx(z):
+    """Complex dilogarithm on a Cx pair — same algorithm and branch-cut
+    convention as ``li2c`` (GSL: Im Li2(x - i0) = -pi ln x on the cut),
+    but free of complex dtypes so it compiles for TPU."""
+    az2 = z.re * z.re + z.im * z.im
+    big = az2 > 1.0
+    is_zero = (z.re == 0.0) & (z.im == 0.0)
+    safe_z = cp.where(is_zero, cp.cx(jnp.ones_like(z.re)), z)
+    zi = cp.where(big, 1.0 / safe_z, z)
+    refl = zi.re > 0.5
+    zs = cp.where(refl, 1.0 - zi, zi)
+    zs_az2 = zs.re * zs.re + zs.im * zs.im
+    zs = cp.where(zs_az2 > (1.0 + 1e-12) ** 2,
+                  cp.cx(jnp.zeros_like(zs.re)), zs)
+    s = _li2_series_cx(zs)
+    zi_zero = (zi.re == 0.0) & (zi.im == 0.0)
+    safe_zi = cp.where(zi_zero, cp.cx(jnp.ones_like(zi.re)), zi)
+    zi_one = (zi.re == 1.0) & (zi.im == 0.0)
+    safe_1mzi = cp.where(zi_one, cp.cx(jnp.ones_like(zi.re)), 1.0 - zi)
+    val = cp.where(refl, PI2_6 - cp.log(safe_zi) * cp.log(safe_1mzi) - s, s)
+    # inversion: Li2(z) = -pi^2/6 - Log(-z)^2/2 - Li2(1/z); on the cut
+    # (real z > 1) force arg(-z) = +pi so Im Li2 = -pi ln z (from below).
+    on_cut = big & (z.im == 0.0) & (z.re > 0.0)
+    neg = cp.Cx(-z.re * jnp.ones_like(safe_z.re),
+                jnp.where(on_cut, 0.0, -z.im))
+    neg = cp.where(big, neg, cp.cx(jnp.ones_like(z.re)))
+    lnm = cp.log(neg)
+    return cp.where(big, -PI2_6 - (lnm * lnm) * 0.5 - val, val)
+
+
+def dilogdiff_cx(x, y):
+    """Li2(x) - Li2(y) on Cx pairs (mirrors ``dilogdiff_complex``)."""
+    big = (cp.cabs(x) > 1e2) & (cp.cabs(y) > 1e2)
+
+    def tail(z):
+        sgn = jnp.where(z.im >= 0.0, 1.0, -1.0)
+        is_zero = (z.re == 0.0) & (z.im == 0.0)
+        sz = cp.where(is_zero, cp.cx(jnp.ones_like(z.re)), z)
+        iz = 1.0 / sz
+        lz = cp.log(sz)
+        iz2 = iz * iz
+        inner = lz * (-2.0 * PI * sgn) - cp.Cx(-lz.im, lz.re) * lz  # -sgn*2pi*L - i L^2
+        return (
+            -(iz2 * iz2) * (1.0 / 16.0)
+            - (iz2 * iz) * (1.0 / 9.0)
+            - iz2 * 0.25
+            - iz
+            - cp.Cx(-inner.im, inner.re) * 0.5  # -i/2 * inner = -0.5*(i*inner)
+        )
+
+    return cp.where(big, tail(x) - tail(y), li2cx(x) - li2cx(y))
 
 
 # ---------------------------------------------------------------------------
