@@ -1,0 +1,70 @@
+"""Measure the serial C++ baseline and write BASELINE_MEASURED.json.
+
+The reference publishes no performance numbers and does not compile here
+(GSL absent), so bench.py's vs_baseline denominator comes from
+native/serial_baseline.cpp — a cross-validated (tests/test_serial_baseline.py,
+agreement ~1e-15/bin with the JAX engine) single-threaded -O3 C++
+implementation of the same algorithm, including the reference's
+alpha_cum fast path for the benchmark configuration.
+
+Usage: python tools/measure_baseline.py [--bins 500] [--reps 5]
+"""
+
+import argparse
+import json
+import pathlib
+import platform
+import subprocess
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+SRC = ROOT / "native" / "serial_baseline.cpp"
+BIN = ROOT / "native" / "serial_baseline"
+
+
+def build():
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-std=c++17", "-o", str(BIN),
+         str(SRC)],
+        check=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bins", type=int, default=500)
+    ap.add_argument("--lEmin", type=float, default=4.0)
+    ap.add_argument("--lEmax", type=float, default=9.0)
+    ap.add_argument("--zmax", type=float, default=5.0)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    if not BIN.exists() or BIN.stat().st_mtime < SRC.stat().st_mtime:
+        build()
+    out = subprocess.run(
+        [str(BIN), str(args.bins), str(args.lEmin), str(args.lEmax),
+         str(args.zmax), str(args.reps)],
+        check=True, capture_output=True, text=True).stdout
+    res = json.loads(out)
+
+    payload = {
+        "description": (
+            "Serial C++ re-implementation of the reference algorithm "
+            "(s-channel kernels + alpha_cum fast path, power-law source), "
+            "-O3 -march=native, single thread. Cross-validated against "
+            "the JAX engine to ~1e-15 per bin."),
+        "config": {
+            "N_bins_E": args.bins, "lEmin": args.lEmin,
+            "lEmax": args.lEmax, "zmax": args.zmax,
+            "non_resonant": False, "source": "powerlaw",
+        },
+        "n_steps_z": res["n_steps_z"],
+        "serial_cpp_wall_sec_per_evolve": res["wall_sec_per_evolve"],
+        "serial_cpp_zsteps_per_sec_500bins": res["zsteps_per_sec"],
+        "host": platform.platform(),
+    }
+    out_path = ROOT / "BASELINE_MEASURED.json"
+    out_path.write_text(json.dumps(payload, indent=2) + "\n")
+    print(json.dumps(payload, indent=2))
+
+
+if __name__ == "__main__":
+    main()
