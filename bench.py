@@ -50,7 +50,7 @@ def main():
     )
     nz = grids.n_steps_z(cfg)
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
     params = nu.param_grid(
         np.geomspace(1e5, 1e8, batch), [1e-2], mntot=mntot, si=2.0, norm=6.0
@@ -59,7 +59,10 @@ def main():
     # warmup/compile. NOTE: on the tunneled TPU, block_until_ready does not
     # reliably block; a scalar reduction materialized to host is the only
     # trustworthy fence, so all timings include that fence.
-    float(jnp.sum(nu.grid_scan(params, cfg).flux))
+    warm = nu.grid_scan(params, cfg).flux
+    if not bool(jnp.isfinite(warm).all()):
+        raise SystemExit("bench aborted: non-finite flux — refusing to time garbage")
+    float(jnp.sum(warm))
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []

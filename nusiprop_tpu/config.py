@@ -43,6 +43,17 @@ class Config:
     # nuSIprop.hpp:659-662); "powerlaw" is the upstream SFR power-law
     # source (nuSIprop.hpp:648-657, commented out there).
     source: str = "dsnb"
+    # March implementation for the per-z energy sweep:
+    #   "auto"     — rank1 when s-channel-only, trisolve otherwise;
+    #   "rank1"    — O(NE) associative-scan sweep exploiting the exact
+    #                rank-one structure of the s-channel alpha kernel
+    #                (TPU-native form of the reference's alpha_cum fast
+    #                path, nuSIprop.hpp:261-264, 273-278);
+    #   "trisolve" — the sweep as one scalar triangular solve (general
+    #                kernels);
+    #   "loop"     — literal descending-bin lax.scan (reference-shaped;
+    #                kept as the cross-validation oracle).
+    march: str = "auto"
 
     @classmethod
     def cpp_defaults(cls, **kw) -> "Config":
@@ -56,6 +67,8 @@ class Config:
             raise ValueError(f"flav must be 0, 1 or 2, got {self.flav}")
         if self.source not in ("dsnb", "powerlaw"):
             raise ValueError(f"unknown source model {self.source!r}")
+        if self.march not in ("auto", "rank1", "trisolve", "loop"):
+            raise ValueError(f"unknown march mode {self.march!r}")
         if self.N_bins_E < 2:
             raise ValueError("need at least 2 energy bins")
         if self.lEmax <= self.lEmin:

@@ -211,3 +211,36 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     res = jnp.sum(Wf[:, None, None] / (2.0 * mn_c) * tot, axis=0)
     # strictly upper triangular: source bin index > target bin index
     return jnp.triu(res, k=1)
+
+
+def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana):
+    """Source-side factor of the (exactly rank-one) s-channel alpha table.
+
+    alpha_s (nuSIprop.hpp:1264-1269) factorizes as (tm - tp)_target x
+    R(source); under the table builder's |U|^2/(2 mn) eigenstate sum the
+    mn-dependence of the target factor cancels, so the s-channel-only
+    alpha table is exactly
+
+        alpha_table[j, m] = (Ep[j] - Em[j]) * rho[m]      (j < m).
+
+    This is the TPU-native form of the reference's ``alpha_cum`` O(N)
+    fast path (nuSIprop.hpp:261-264, 273-278). rho is recovered from the
+    same-bin diagonal evaluation divided by the bin width — exactly how
+    the reference's accumulator uses alpha_jj — which keeps the
+    near-resonance shift (nuSIprop.hpp:949-954) semantics identical.
+
+    Returns (N,) for (N,) bin-edge arrays.
+    """
+    ga = scalar_width(g, mphi, majorana)
+    mn_c = mn[:, None]
+    tp = -2.0 * mn_c * Ep[None, :] / (mphi * mphi)
+    tm = -2.0 * mn_c * Em[None, :] / (mphi * mphi)
+    tm = _shift_near_minus1(tm)
+    tp = _shift_near_minus1(tp)
+    spp = 2.0 * mn_c * Ep[None, :] / (mphi * mphi)
+    smp = 2.0 * mn_c * Em[None, :] / (mphi * mphi)
+    diag = alpha_s(tm, tp, smp, spp, g, mphi, ga)
+    if not majorana:
+        diag = diag / 2.0
+    diag = jnp.sum(Wf[:, None] / (2.0 * mn_c) * diag, axis=0)
+    return diag / (Ep - Em)

@@ -18,10 +18,18 @@ TPU-native structure:
   * per z-node, the window of the extended tables relevant at that
     redshift is a `lax.dynamic_slice` — the grid-coupling trick makes the
     window contiguous;
-  * the redshift march is a `lax.scan` over z-nodes, with an inner
-    `lax.scan` over descending energy bins whose per-step work is a
-    (3, NE) x (NE,) contraction against a strictly-triangular kernel row
-    plus a closed-form 3x3 solve;
+  * the redshift march is a `lax.scan` over z-nodes;
+  * the descending-energy sweep inside a z-node is NOT a sequential loop
+    (a 500-step scalar-recurrence chain is pure latency on a TPU).
+    Because the per-bin update  x_j = V_j + reg_j * U_j  is affine in the
+    scalar regeneration feed  reg_j = sum_{m>j} K[j,m] * (Wf . x_m),
+    the whole sweep closes into:
+      - s-channel-only ("rank1"): K is exactly rank one, so reg follows a
+        scalar affine recurrence solved in log depth with
+        `lax.associative_scan` — the TPU-native alpha_cum fast path;
+      - general kernels ("trisolve"): y_j = Wf . x_j satisfies one scalar
+        strictly-triangular NE x NE linear system per z-node, solved with
+        a blocked triangular solve (MXU work instead of a scan chain);
   * everything is a pure function of a PhysicsParams pytree, so parameter
     grids batch with vmap and shard with pjit (parallel/scan.py).
 """
@@ -48,24 +56,22 @@ class EvolveResult(NamedTuple):
 
 
 def _solve3(M, b):
-    """Closed-form 3x3 linear solve via the adjugate (replaces the
-    reference's GSL LU at nuSIprop.hpp:308-313; at 3x3 the explicit
-    inverse is exact enough and batches perfectly)."""
-    a, b_, c = M[0, 0], M[0, 1], M[0, 2]
-    d, e, f = M[1, 0], M[1, 1], M[1, 2]
-    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    """Closed-form 3x3 linear solve via the adjugate, batched over any
+    leading axes (M: (..., 3, 3), b: (..., 3)). Replaces the reference's
+    GSL LU at nuSIprop.hpp:308-313; at 3x3 the explicit inverse is exact
+    enough and vectorizes perfectly."""
+    a, b_, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
     A = e * i - f * h
     B = -(d * i - f * g)
     C = d * h - e * g
     det = a * A + b_ * B + c * C
-    adj = jnp.array(
-        [
-            [A, -(b_ * i - c * h), b_ * f - c * e],
-            [B, a * i - c * g, -(a * f - c * d)],
-            [C, -(a * h - b_ * g), a * e - b_ * d],
-        ]
-    )
-    return adj @ b / det
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = A * b0 - (b_ * i - c * h) * b1 + (b_ * f - c * e) * b2
+    x1 = B * b0 + (a * i - c * g) * b1 - (a * f - c * d) * b2
+    x2 = C * b0 - (a * h - b_ * g) * b1 + (a * e - b_ * d) * b2
+    return jnp.stack([x0, x1, x2], axis=-1) / det[..., None]
 
 
 def _source_lum(cfg: Config, z_src, Emin, Emax, si, norm_total):
@@ -75,11 +81,48 @@ def _source_lum(cfg: Config, z_src, Emin, Emax, si, norm_total):
     return sources.lum_powerlaw(z_src, Emin, Emax, si, norm_total)
 
 
+def _resolve_march(cfg: Config) -> str:
+    if cfg.march == "auto":
+        return "trisolve" if cfg.non_resonant else "rank1"
+    if cfg.march == "rank1" and cfg.non_resonant:
+        raise ValueError(
+            "march='rank1' is exact only for the s-channel-only kernel "
+            "(non_resonant=False); use 'trisolve' or 'auto'"
+        )
+    return cfg.march
+
+
+def _node_affine(pref, zdr, coup, lum, flux, Wf, WfWf, offd_mask):
+    """Shared per-z-node affine reduction of the implicit update.
+
+    Solving the 3x3 system M x = (flux_old + pref*(lum + reg*Wf))/zdr
+    for every bin at once gives  x_j = V_j + reg_j * U_j  with
+      V = M^-1 (flux_old + pref*lum)/zdr     (NE, 3)
+      U = M^-1 (pref * Wf)/zdr               (NE, 3)
+    M per bin is I + offdiag(coup * Wf Wf^T / zdr) (nuSIprop.hpp:297-304).
+
+    RANGE SAFETY (TPU f64 emulation carries float32 exponent range): pref
+    = (1+z) dlogz / H is ~1e31, so U must not pick up any further large
+    factor before it meets the (tiny) regeneration feed — callers multiply
+    bin widths into reg, never into U.
+    """
+    zdr_t = zdr.T  # (NE, 3)
+    M = jnp.eye(3, dtype=zdr.dtype)[None] + offd_mask[None] * (
+        coup[:, None, None] * WfWf[None] / zdr_t[:, :, None]
+    )
+    rhs_v = (flux.T + pref * lum[:, None]) / zdr_t
+    rhs_u = pref * Wf[None, :] / zdr_t
+    V = _solve3(M, rhs_v)
+    U = _solve3(M, rhs_u)
+    return U, V
+
+
 def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
     """Pure-function evolve; jit with cfg static (see `evolve`)."""
     gr = grids.build(cfg)
     NE = cfg.N_bins_E
     Nz = gr.N_steps_z
+    march = _resolve_march(cfg)
 
     Wsq = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))  # (3, 3)
     Wf = Wsq[cfg.flav]  # (3,)
@@ -94,7 +137,17 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveRes
     )
     tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
     tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
-    tblA = kernels.alpha_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
+    if march == "rank1":
+        # Rank-one factorization of the alpha table: no (NEXT, NEXT)
+        # materialization at all.
+        rho_ext = kernels.alpha_s_rho(
+            gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+            majorana=cfg.majorana,
+        )
+        dE_ext = gr.Emax_ext - gr.Emin_ext
+        tblA = None
+    else:
+        tblA = kernels.alpha_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
 
     dE = gr.Emax - gr.Emin
     inv_dE = 1.0 / dE
@@ -105,7 +158,8 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveRes
     offd_mask = 1.0 - eye3
     WfWf = jnp.outer(Wf, Wf)
 
-    def z_step(flux, i):
+    def node_common(flux, i):
+        """Per-z-node quantities shared by all march implementations."""
         zim = z[i - 1]
         zi = z[i]
         H = sources.get_H(zim)
@@ -116,7 +170,6 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveRes
         # of the window equals extended entry j+i-2 (nuSIprop.hpp:268-272).
         G_i = lax.dynamic_slice(tblG, (i - 1,), (NE,)) * ndfac
         At_i = lax.dynamic_slice(tblAt, (i - 1,), (NE,)) * ndfac
-        A_i = lax.dynamic_slice(tblA, (i - 1, i - 1), (NE, NE)) * ndfac
 
         lum = _source_lum(cfg, zi, gr.Emin, gr.Emax, params.si, norm_total)
 
@@ -124,6 +177,13 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveRes
         Zdr = 1.0 + pref * (
             G_i[None, :] * Wf[:, None] - At_i[None, :] * Wf2[:, None]
         ) * inv_dE[None, :]
+        coup = At_i * inv_dE  # same-bin eigenstate coupling (NE,)
+        return ndfac, pref, lum, Zdr, coup
+
+    def z_step_loop(flux, i):
+        """Reference-shaped descending-bin scan (cross-validation oracle)."""
+        ndfac, pref, lum, Zdr, coup = node_common(flux, i)
+        A_i = lax.dynamic_slice(tblA, (i - 1, i - 1), (NE, NE)) * ndfac
 
         def j_step(flx, j):
             jm = j - 1
@@ -133,13 +193,79 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveRes
             src = pref * (lum[jm] + reg * Wf)  # (3,)
             zdr = Zdr[:, jm]
             rhs = (flx[:, jm] + src) / zdr
-            coup = At_i[jm] * inv_dE[jm]
-            M = eye3 + offd_mask * (coup * WfWf / zdr[:, None])
+            M = eye3 + offd_mask * (coup[jm] * WfWf / zdr[:, None])
             x = _solve3(M, rhs)
             return flx.at[:, jm].set(x), None
 
         flux, _ = lax.scan(j_step, flux, jnp.arange(NE, 0, -1))
         return flux, None
+
+    def z_step_rank1(flux, i):
+        """s-channel-only sweep in log depth.
+
+        alpha[j, m] = dE_ext[j'] * rho_ext[m'] (exactly; kernels.alpha_s_rho)
+        so the regeneration feed reg_j = d_j * cum_j with the scalar
+        cum_j = sum_{m>j} c_m * (Wf . x_m) accumulated over already-updated
+        higher bins. Since x_m = V_m + cum_m * U_m is affine in cum, cum
+        obeys cum_{j} = a_{j+1} cum_{j+1} + b_{j+1}: a scalar affine
+        recurrence — an `associative_scan` in processing (descending-bin)
+        order replaces the 500-step sequential chain.
+        """
+        ndfac, pref, lum, Zdr, coup = node_common(flux, i)
+        d_w = lax.dynamic_slice(dE_ext, (i - 1,), (NE,))
+        rho_w = lax.dynamic_slice(rho_ext, (i - 1,), (NE,)) * ndfac
+
+        U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf, WfWf, offd_mask)
+        c_w = rho_w * inv_dE  # accumulation weight of each source bin
+        # d_w (target-bin width) multiplies the tiny c_w/cum factors, NOT
+        # U, whose pref ~ 1e31 would overflow the emulated-f64 range.
+        a = 1.0 + (c_w * d_w) * (U @ Wf)
+        b = c_w * (V @ Wf)
+
+        # Processing order is descending bin index: flip, prefix-compose
+        # the affine maps s -> a*s + b, and read off the state *before*
+        # each step (exclusive scan).
+        a_r = jnp.flip(a, axis=0)
+        b_r = jnp.flip(b, axis=0)
+
+        def compose(lo, hi):
+            al, bl = lo
+            ah, bh = hi
+            return ah * al, ah * bl + bh
+
+        _, B_inc = lax.associative_scan(compose, (a_r, b_r), axis=0)
+        cum_r = jnp.concatenate([jnp.zeros_like(B_inc[:1]), B_inc[:-1]], axis=0)
+        cum = jnp.flip(cum_r, axis=0)  # (NE,) state seen by each bin
+
+        x = V + (cum * d_w)[:, None] * U
+        return x.T, None
+
+    def z_step_trisolve(flux, i):
+        """General-kernel sweep as one scalar triangular solve.
+
+        With y_j = Wf . x_j and K[j,m] = alpha[j,m]/dE_m (strictly upper
+        triangular), the back-substitution closes into
+            (I - diag(pu) K) y = qv,   pu_j = Wf.U_j, qv_j = Wf.V_j,
+        a unit-diagonal upper-triangular NE x NE system — one blocked
+        triangular solve per z-node instead of an NE-step scan chain.
+        """
+        ndfac, pref, lum, Zdr, coup = node_common(flux, i)
+        A_i = lax.dynamic_slice(tblA, (i - 1, i - 1), (NE, NE)) * ndfac
+
+        U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf, WfWf, offd_mask)
+        K = A_i * inv_dE[None, :]
+        pu = U @ Wf
+        qv = V @ Wf
+        T = jnp.eye(NE, dtype=flux.dtype) - pu[:, None] * K
+        y = jax.scipy.linalg.solve_triangular(
+            T, qv, lower=False, unit_diagonal=True
+        )
+        reg = K @ y
+        x = V + reg[:, None] * U
+        return x.T, None
+
+    z_step = {"loop": z_step_loop, "rank1": z_step_rank1,
+              "trisolve": z_step_trisolve}[march]
 
     flux0 = jnp.zeros((3, NE), dtype=jnp.float64)
     flux, _ = lax.scan(z_step, flux0, jnp.arange(Nz - 1, 0, -1))

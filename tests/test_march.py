@@ -1,0 +1,69 @@
+"""Cross-validation of the three march implementations.
+
+The "loop" march is shaped like the reference's descending-bin sweep
+(nuSIprop.hpp:266-315) and serves as the oracle; "rank1" (associative
+scan over the exactly-rank-one s-channel alpha) and "trisolve" (scalar
+triangular-solve closure of the back-substitution) must agree with it to
+float64 round-off — they are reformulations, not approximations.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from nusiprop_tpu.config import Config, PhysicsParams
+from nusiprop_tpu.models import transport
+
+MNTOT = 0.0 + np.sqrt(7.42e-5) + np.sqrt(2.514e-3)
+
+
+def _run(cfg):
+    p = PhysicsParams.create(mphi=5e6, g=1e-6, mntot=MNTOT, si=2.0, norm=6.0)
+    return np.asarray(transport.evolve(p, cfg).flux_fla)
+
+
+def _rel(a, b):
+    scale = np.maximum(np.abs(a), np.abs(b))
+    return np.max(np.abs(a - b) / np.where(scale > 0, scale, 1.0))
+
+
+@pytest.fixture(scope="module")
+def base_cfg():
+    return Config(
+        N_bins_E=60, lEmin=4.0, lEmax=9.0, zmax=5.0,
+        non_resonant=False, phiphi=False, source="dsnb",
+    )
+
+
+def test_rank1_matches_loop(base_cfg):
+    loop = _run(dataclasses.replace(base_cfg, march="loop"))
+    fast = _run(dataclasses.replace(base_cfg, march="rank1"))
+    assert _rel(loop, fast) < 1e-11
+
+
+def test_trisolve_matches_loop_schannel(base_cfg):
+    loop = _run(dataclasses.replace(base_cfg, march="loop"))
+    tri = _run(dataclasses.replace(base_cfg, march="trisolve"))
+    assert _rel(loop, tri) < 1e-11
+
+
+def test_trisolve_matches_loop_nonresonant(base_cfg):
+    cfg = dataclasses.replace(
+        base_cfg, non_resonant=True, N_bins_E=40,
+        lEmin=9.0, lEmax=14.0, source="powerlaw",
+    )
+    p = PhysicsParams.create(mphi=6e5, g=0.01, mntot=0.1, si=2.5, norm=1.0)
+    loop = np.asarray(
+        transport.evolve(p, dataclasses.replace(cfg, march="loop")).flux_fla
+    )
+    tri = np.asarray(
+        transport.evolve(p, dataclasses.replace(cfg, march="trisolve")).flux_fla
+    )
+    assert _rel(loop, tri) < 1e-11
+
+
+def test_rank1_rejects_nonresonant(base_cfg):
+    cfg = dataclasses.replace(base_cfg, non_resonant=True, march="rank1")
+    with pytest.raises(ValueError, match="rank1"):
+        _run(cfg)
