@@ -28,6 +28,7 @@ from nusiprop_tpu.models.transport import (
     evolve,
 )
 from nusiprop_tpu.parallel.scan import (
+    checkpointed_grid_scan,
     grid_scan,
     param_grid,
     sharded_grid_scan,
@@ -44,6 +45,7 @@ __all__ = [
     "PhysicsParams",
     "evolve",
     "check_energy_conservation",
+    "checkpointed_grid_scan",
     "grid_scan",
     "param_grid",
     "sharded_grid_scan",

@@ -53,8 +53,9 @@ def param_grid(mphi_vals, g_vals, mntot, si, norm=1.0) -> PhysicsParams:
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _grid_scan_jit(params: PhysicsParams, cfg: Config, chunk_size: int):
-    f = lambda p: transport.evolve_core(p, cfg)
+def _grid_scan_jit(params: PhysicsParams, cfg: Config, chunk_size: int,
+                   pp_tables=None):
+    f = lambda p: transport.evolve_core(p, cfg, pp_tables=pp_tables)
     batch = params.mphi.shape[0]
     if chunk_size and 0 < chunk_size < batch and batch % chunk_size == 0:
         # chunked vmap: bounds peak memory of the (3, NEXT, NEXT)
@@ -70,13 +71,73 @@ def _grid_scan_jit(params: PhysicsParams, cfg: Config, chunk_size: int):
     return jax.vmap(f)(params)
 
 
-def grid_scan(params: PhysicsParams, cfg: Config, chunk_size: int | None = None):
+def grid_scan(params: PhysicsParams, cfg: Config, chunk_size: int | None = None,
+              pp_tables=None):
     """Evolve a whole batch of parameter points in one compiled launch.
 
     params leaves must share a leading batch axis. Returns an EvolveResult
-    whose array fields carry that batch axis.
+    whose array fields carry that batch axis. pp_tables (a PPTables
+    pytree) is shared across the batch when cfg.phiphi is on.
     """
-    return _grid_scan_jit(params, cfg, int(chunk_size or 0))
+    return _grid_scan_jit(params, cfg, int(chunk_size or 0), pp_tables)
+
+
+def checkpointed_grid_scan(params: PhysicsParams, cfg: Config, path,
+                           chunk_size: int = 64, pp_tables=None,
+                           progress=None):
+    """Evolve a large grid in restartable chunks.
+
+    Each chunk's flux spectra are persisted to ``<path>.chunkNNNNN.npz``
+    as soon as they finish; a rerun with the same path skips complete
+    chunks, so a preempted multi-hour scan resumes where it stopped (the
+    reference has no checkpointing at all — SURVEY.md §5). On completion
+    the chunks merge into ``<path>`` (one .npz) and the chunk files are
+    removed.
+
+    Returns dict with 'flux', 'flux_fla' (B, 3, NE), 'E_nu' (NE,) arrays.
+    """
+    import os
+
+    import numpy as np
+
+    batch = int(params.mphi.shape[0])
+    n_chunks = (batch + chunk_size - 1) // chunk_size
+    path = str(path)
+
+    for c in range(n_chunks):
+        cp = f"{path}.chunk{c:05d}.npz"
+        if os.path.exists(cp):
+            continue
+        sl = slice(c * chunk_size, min((c + 1) * chunk_size, batch))
+        # pad the tail chunk so every chunk reuses one compiled shape
+        chunk = jax.tree.map(lambda x: x[sl], params)
+        pad = chunk_size - int(chunk.mphi.shape[0])
+        if pad:
+            chunk = jax.tree.map(
+                lambda x: jnp.concatenate([x, x[-1:].repeat(pad, axis=0)]),
+                chunk,
+            )
+        res = grid_scan(chunk, cfg, pp_tables=pp_tables)
+        n_real = sl.stop - sl.start
+        tmp = cp + ".tmp.npz"
+        np.savez(tmp,
+                 flux=np.asarray(res.flux)[:n_real],
+                 flux_fla=np.asarray(res.flux_fla)[:n_real],
+                 E_nu=np.asarray(res.E_nu))
+        os.replace(tmp, cp)  # atomic: a chunk file is complete or absent
+        if progress:
+            progress(c + 1, n_chunks)
+
+    parts = [np.load(f"{path}.chunk{c:05d}.npz") for c in range(n_chunks)]
+    out = {
+        "flux": np.concatenate([p["flux"] for p in parts]),
+        "flux_fla": np.concatenate([p["flux_fla"] for p in parts]),
+        "E_nu": parts[0]["E_nu"],
+    }
+    np.savez(path, **out)
+    for c in range(n_chunks):
+        os.remove(f"{path}.chunk{c:05d}.npz")
+    return out
 
 
 def sharded_grid_scan(params: PhysicsParams, cfg: Config,
