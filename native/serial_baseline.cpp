@@ -1,358 +1,32 @@
-// Serial C++ baseline for the nusiprop_tpu benchmark.
+// Serial C++ baseline CLI for the nusiprop_tpu benchmark.
 //
 // The upstream reference (quarkquartet/nuSIprop) publishes no performance
 // numbers and does not compile in this environment (GSL and its bundled
-// polylogarithm sources are absent), so this file provides the missing
+// polylogarithm sources are absent), so this provides the missing
 // denominator for bench.py's vs_baseline: a clean, -O3, single-threaded
-// C++ implementation of the same algorithm the reference runs for the
-// benchmark configuration — s-channel-only kernels (the fast path the
-// golden config uses, no GSL needed), power-law source, implicit redshift
-// march with the extended-kernel-table trick (cf. nuSIprop.hpp:218-315).
+// run of the same algorithm the reference executes for the benchmark
+// configuration — s-channel-only kernels with the alpha_cum fast path,
+// power-law source, implicit redshift march with the extended-
+// kernel-table trick (cf. nuSIprop.hpp:218-315). The engine itself lives
+// in nusi_engine.hpp (shared with the C API / ctypes binding).
 //
 // It is cross-validated against the JAX engine to ~1e-12 per bin
 // (tests/test_serial_baseline.py) and timed by tools/measure_baseline.py,
 // which writes BASELINE_MEASURED.json.
 //
-// Build:  g++ -O3 -march=native -std=c++17 -o serial_baseline serial_baseline.cpp
+// Build:  make serial_baseline   (or g++ -O3 -march=native -std=c++17
+//         -o serial_baseline serial_baseline.cpp)
 // Run:    ./serial_baseline <N_bins> <lEmin> <lEmax> <zmax> <reps> [--dump]
 
-#include <cmath>
-#include <complex>
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
-#include <chrono>
-#include <vector>
 
-namespace {
-
-constexpr double PI = 3.141592653589793;
-
-// --- constants (constants.py / nuSIprop.hpp:131-189, 549-589) ---
-constexpr double DMQ21 = 7.42e-5, DMQ31_NO = 2.514e-3;
-constexpr double ND_COEFF = 4.3528e-13, H_COEFF = 1.5e-33;
-constexpr double OMEGA_L = 0.692, OMEGA_M = 0.308;
-constexpr double E0_PIVOT = 1e14;
-constexpr int N_INTEG_Z = 100;
-constexpr double D2R = PI / 180.0;
-
-// 3-point Gauss-Legendre (aux.hpp:53-54)
-const double GLX[3] = {-std::sqrt(3.0 / 5.0), 0.0, std::sqrt(3.0 / 5.0)};
-const double GLW[3] = {5.0 / 9.0, 8.0 / 9.0, 5.0 / 9.0};
-
-double get_H(double z) {
-  return H_COEFF * std::sqrt(OMEGA_L + OMEGA_M * std::pow(1.0 + z, 3));
-}
-double get_nd(double z) { return ND_COEFF * std::pow(1.0 + z, 3); }
-double get_SFR(double z) {
-  double zp1 = 1.0 + z;
-  return std::pow(std::pow(zp1, -34.0) + std::pow(zp1 / 5161.0, 3.0) +
-                      std::pow(zp1 / 9.06, 35.0),
-                  -0.1);
-}
-
-double atandiff(double x, double y) {  // aux.hpp:63-75
-  if (std::fabs(x) < 1e2 || std::fabs(y) < 1e2 || x * y < 0)
-    return std::atan(x) - std::atan(y);
-  double ix = 1.0 / x, iy = 1.0 / y;
-  return (-ix + ix * ix * ix / 3.0) - (-iy + iy * iy * iy / 3.0);
-}
-
-struct Engine {
-  // configuration
-  int NE;
-  double lEmin, lEmax, zmax;
-  double mphi, g, mntot, si, norm;
-  int flav = 2;
-  bool majorana = true;
-
-  // grids
-  int NZ, NEXT;
-  std::vector<double> Emin, Enu, Emax, zg, Emin_ext, Emax_ext;
-  double dlogz, zmax_eff;
-
-  // state
-  double mn[3];
-  double Wsq[3][3];  // |U[f][i]|^2
-  std::vector<double> flux;      // [3][NE]
-  std::vector<double> flux_fla;  // [3][NE]
-  std::vector<double> tblG, tblAt, tblA;  // extended kernel tables
-
-  void setup_grids() {
-    double span = lEmax - lEmin;
-    Emin.resize(NE); Enu.resize(NE); Emax.resize(NE);
-    for (int i = 0; i < NE; ++i) {
-      Emin[i] = std::pow(10.0, lEmin + span * i / NE);
-      Enu[i] = std::pow(10.0, lEmin + span * (i + 0.5) / NE);
-      Emax[i] = std::pow(10.0, lEmin + span * (i + 1.0) / NE);
-    }
-    double ratio = std::pow(10.0, span / NE);
-    NZ = (int)(std::log(1.0 + zmax) / std::log(ratio) + 2.0);
-    zg.resize(NZ);
-    for (int i = 0; i < NZ; ++i) zg[i] = std::pow(ratio, i) - 1.0;
-    zmax_eff = zg[NZ - 1];
-    dlogz = std::log(ratio);
-    NEXT = NE + NZ - 2;
-    Emin_ext.resize(NEXT); Emax_ext.resize(NEXT);
-    for (int e = 0; e < NEXT; ++e) {
-      double shift = (e < NE) ? 0.0 : (double)(e - (NE - 1));
-      double s = std::pow(ratio, shift);
-      int idx = (e < NE) ? e : NE - 1;
-      Emin_ext[e] = Emin[idx] * s;
-      Emax_ext[e] = Emax[idx] * s;
-    }
-  }
-
-  void setup_masses_mixing() {
-    // bisection on the monotone total-mass constraint (masses.py)
-    double lo = 0.0, hi = mntot;
-    for (int it = 0; it < 200; ++it) {
-      double mid = 0.5 * (lo + hi);
-      double tot = mid + std::sqrt(mid * mid + DMQ21) +
-                   std::sqrt(mid * mid + DMQ31_NO);
-      if (tot < mntot) lo = mid; else hi = mid;
-    }
-    double mL = 0.5 * (lo + hi);
-    mn[0] = std::max(mL, 1e-12);
-    mn[1] = std::sqrt(DMQ21 + mL * mL);
-    mn[2] = std::sqrt(DMQ31_NO + mL * mL);
-
-    // NuFIT 5.0 NO mixing (nuSIprop.hpp:131-140)
-    double t12 = 33.44 * D2R, t13 = 8.57 * D2R, t23 = 49.0 * D2R,
-           dcp = 195.0 * D2R;
-    std::complex<double> del = std::exp(std::complex<double>(0.0, dcp));
-    double s12 = std::sin(t12), c12 = std::cos(t12);
-    double s13 = std::sin(t13), c13 = std::cos(t13);
-    double s23 = std::sin(t23), c23 = std::cos(t23);
-    std::complex<double> U[3][3];
-    U[0][0] = c12 * c13; U[0][1] = s12 * c13;
-    U[0][2] = s13 / del;
-    U[1][0] = -s12 * c23 - c12 * s23 * s13 * del;
-    U[1][1] = c12 * c23 - s12 * s23 * s13 * del;
-    U[1][2] = s23 * c13;
-    U[2][0] = s12 * s23 - c12 * c23 * s13 * del;
-    U[2][1] = -c12 * s23 - s12 * c23 * s13 * del;
-    U[2][2] = c23 * c13;
-    for (int f = 0; f < 3; ++f)
-      for (int i = 0; i < 3; ++i) Wsq[f][i] = std::norm(U[f][i]);
-  }
-
-  double scalar_width() const {
-    return majorana ? g * g * mphi / (16.0 * PI) : g * g * mphi / (8.0 * PI);
-  }
-
-  // s-channel kernels, same closed forms as kernels.py:66-129
-  double Gamma_s(double Em, double Ep, double Ga) const {
-    double tot = 0;
-    for (int j = 0; j < 3; ++j) {
-      double sp = 2 * mn[j] * Ep / (mphi * mphi);
-      double sm = 2 * mn[j] * Em / (mphi * mphi);
-      double gr = Ga / mphi;
-      double logterm =
-          std::log1p(mphi * mphi / (mphi * mphi + Ga * Ga) * sp * (sp - 2)) -
-          std::log1p(mphi * mphi / (mphi * mphi + Ga * Ga) * sm * (sm - 2));
-      double core;
-      if (sp < 1e-5) {
-        double d = sp - sm;
-        core = 2 * mphi *
-               (gr * (1 + gr * gr + 2 * sm) / ((1 + gr * gr) * (1 + gr * gr)) * d +
-                gr / ((1 + gr * gr) * (1 + gr * gr)) * d * d);
-      } else {
-        core = 2 * mphi * atandiff(mphi * (sp - 1) / Ga, mphi * (sm - 1) / Ga);
-      }
-      double G = (g * g) / (32.0 * PI * Ga) * (g * g) * (core + Ga * logterm);
-      tot += Wsq[flav][j] / (2 * mn[j]) * G;
-    }
-    return tot;
-  }
-
-  double alphaTilde_s(double Em, double Ep, double Ga) const {
-    double tot = 0;
-    for (int k = 0; k < 3; ++k) {
-      double tp = -2 * mn[k] * Ep / (mphi * mphi);
-      double tm = -2 * mn[k] * Em / (mphi * mphi);
-      if (std::fabs(tm + 1) < 1e-7) tm += tm * 1e-6;
-      if (std::fabs(tp + 1) < 1e-7) tp += tp * 1e-6;
-      double gr = Ga / mphi;
-      double logterm =
-          std::log1p(mphi * mphi / (mphi * mphi + Ga * Ga) * tp * (tp + 2)) -
-          std::log1p(mphi * mphi / (mphi * mphi + Ga * Ga) * tm * (tm + 2));
-      double core;
-      if (std::fabs(tp) < 1e-5) {
-        double d = tp - tm;
-        core = 2 * mphi * (1 + tm) *
-               (-(gr * (1 + gr * gr - 2 * tm) * d) /
-                    ((1 + gr * gr) * (1 + gr * gr)) +
-                gr * d * d / ((1 + gr * gr) * (1 + gr * gr)));
-      } else {
-        core = 2 * mphi * (1 + tm) *
-               atandiff(mphi * (1 + tm) / Ga, mphi * (1 + tp) / Ga);
-      }
-      double A = (g * g) / (16.0 * PI * Ga) * (g * g) * (core + Ga * logterm);
-      if (!majorana) A /= 2.0;
-      tot += Wsq[flav][k] / (2 * mn[k]) * A;
-    }
-    return tot;
-  }
-
-  double alpha_s(double Em, double Ep, double Emp, double Epp,
-                 double Ga) const {
-    double tot = 0;
-    for (int k = 0; k < 3; ++k) {
-      double tp = -2 * mn[k] * Ep / (mphi * mphi);
-      double tm = -2 * mn[k] * Em / (mphi * mphi);
-      double spp = 2 * mn[k] * Epp / (mphi * mphi);
-      double smp = 2 * mn[k] * Emp / (mphi * mphi);
-      double gr = Ga / mphi;
-      double core;
-      if (spp < 1e-5) {
-        double d = spp - smp;
-        core = gr * (1 + gr * gr + 2 * smp) / ((1 + gr * gr) * (1 + gr * gr)) * d +
-               gr / ((1 + gr * gr) * (1 + gr * gr)) * d * d;
-      } else {
-        core = atandiff(mphi * (spp - 1) / Ga, mphi * (smp - 1) / Ga);
-      }
-      double A = (g * g) / (8.0 * PI * Ga) * (g * g) * mphi * (tm - tp) * core;
-      if (!majorana) A /= 2.0;
-      tot += Wsq[flav][k] / (2 * mn[k]) * A;
-    }
-    return tot;
-  }
-
-  double flux_FS_E0() const {  // nuSIprop.hpp:666-692
-    double tot = 0;
-    double h = zmax_eff / N_INTEG_Z;
-    for (int s = 0; s < N_INTEG_Z; ++s) {
-      double a = s * h, b = a + h;
-      for (int q = 0; q < 3; ++q) {
-        double z = 0.5 * (b - a) * GLX[q] + 0.5 * (b + a);
-        tot += 0.5 * (b - a) * GLW[q] * std::pow(1.0 + z, -si) * get_SFR(z) /
-               get_H(z);
-      }
-    }
-    return tot;
-  }
-
-  double Lum(double z, int bin, double norm_total) const {
-    // power-law x SFR source (nuSIprop.hpp:648-657)
-    double Em = Emin[bin], Ep = Emax[bin];
-    return norm_total / 3.0 * get_SFR(z) *
-           (Ep * std::pow(Ep / E0_PIVOT * (1.0 + z), -si) -
-            Em * std::pow(Em / E0_PIVOT * (1.0 + z), -si)) /
-           (1.0 - si);
-  }
-
-  void evolve() {
-    setup_masses_mixing();
-    double Ga = scalar_width();
-    double norm_total = norm / flux_FS_E0();
-
-    flux.assign(3 * NE, 0.0);
-    flux_fla.assign(3 * NE, 0.0);
-
-    // kernel tables on the extended axis (nuSIprop.hpp:218-253);
-    // s-channel alpha is separable, but match the reference's structure
-    // (full triangular table) for an honest cost comparison
-    tblG.resize(NEXT); tblAt.resize(NEXT); tblA.assign(NEXT * NEXT, 0.0);
-    for (int i = 0; i < NEXT; ++i) {
-      tblG[i] = Gamma_s(Emin_ext[i], Emax_ext[i], Ga);
-      tblAt[i] = alphaTilde_s(Emin_ext[i], Emax_ext[i], Ga);
-      for (int m = i + 1; m < NEXT; ++m)
-        tblA[i * NEXT + m] =
-            alpha_s(Emin_ext[i], Emax_ext[i], Emin_ext[m], Emax_ext[m], Ga);
-    }
-
-    std::vector<double> dE(NE);
-    for (int j = 0; j < NE; ++j) dE[j] = Emax[j] - Emin[j];
-
-    // implicit redshift march (nuSIprop.hpp:257-315)
-    for (int i = NZ - 1; i >= 1; --i) {
-      double zim = zg[i - 1], zi = zg[i];
-      double H = get_H(zim);
-      double ndfac = get_nd(zim) / ((1.0 + zim) * (1.0 + zim));
-      double pref = (1.0 + zim) * dlogz / H;
-
-      // s-channel alpha is separable in the target bin, so the
-      // regeneration sum collapses to a running accumulator exactly as
-      // in the reference's fast path (nuSIprop.hpp:261-278) — this is
-      // the code path the reference runs for the benchmark config
-      // (non_resonant=false), so the timing must include it.
-      double alpha_cum[3] = {0, 0, 0};
-
-      for (int j = NE; j >= 1; --j) {
-        int jm = j - 1;
-        double Gj = tblG[j + i - 2] * ndfac;
-        double Atj = tblAt[j + i - 2] * ndfac;
-
-        if (j != NE) {
-          double a = tblA[(j + i - 2) * NEXT + (j + i - 1)] * ndfac /
-                     (dE[j] * dE[jm]);
-          for (int l = 0; l < 3; ++l) alpha_cum[l] += flux[l * NE + j] * a;
-        }
-        double regW = 0;
-        for (int l = 0; l < 3; ++l) regW += Wsq[flav][l] * alpha_cum[l];
-        regW *= dE[jm];
-
-        double lum = Lum(zi, jm, norm_total);
-        double Zdr[3], rhs[3];
-        for (int k = 0; k < 3; ++k) {
-          double Wk = Wsq[flav][k];
-          Zdr[k] = 1.0 + pref * (Gj * Wk - Atj * Wk * Wk) / dE[jm];
-          double src = pref * (lum + regW * Wk);
-          rhs[k] = (flux[k * NE + jm] + src) / Zdr[k];
-        }
-        // 3x3 implicit system (nuSIprop.hpp:293-313): off-diagonal is
-        // the alphaTilde coupling over Zdr (no pref factor, faithfully)
-        double M[3][3];
-        double coup = Atj / dE[jm];
-        for (int k = 0; k < 3; ++k)
-          for (int l = 0; l < 3; ++l)
-            M[k][l] = (k == l) ? 1.0
-                               : coup * Wsq[flav][k] * Wsq[flav][l] / Zdr[k];
-        // Gaussian elimination, 3x3
-        double x[3];
-        {
-          double A[3][4];
-          for (int r = 0; r < 3; ++r) {
-            for (int c = 0; c < 3; ++c) A[r][c] = M[r][c];
-            A[r][3] = rhs[r];
-          }
-          for (int c = 0; c < 3; ++c) {
-            int p = c;
-            for (int r = c + 1; r < 3; ++r)
-              if (std::fabs(A[r][c]) > std::fabs(A[p][c])) p = r;
-            if (p != c)
-              for (int cc = 0; cc < 4; ++cc) std::swap(A[c][cc], A[p][cc]);
-            for (int r = c + 1; r < 3; ++r) {
-              double f = A[r][c] / A[c][c];
-              for (int cc = c; cc < 4; ++cc) A[r][cc] -= f * A[c][cc];
-            }
-          }
-          for (int r = 2; r >= 0; --r) {
-            double s = A[r][3];
-            for (int c = r + 1; c < 3; ++c) s -= A[r][c] * x[c];
-            x[r] = s / A[r][r];
-          }
-        }
-        for (int k = 0; k < 3; ++k) flux[k * NE + jm] = x[k];
-      }
-    }
-
-    for (int k = 0; k < 3; ++k)
-      for (int j = 0; j < NE; ++j) flux[k * NE + j] /= dE[j];
-    for (int k = 0; k < 3; ++k)
-      for (int j = 0; j < NE; ++j) {
-        double s = 0;
-        for (int m = 0; m < 3; ++m) s += Wsq[k][m] * flux[m * NE + j];
-        flux_fla[k * NE + j] = s;
-      }
-  }
-};
-
-}  // namespace
+#include "nusi_engine.hpp"
 
 int main(int argc, char** argv) {
-  Engine e;
+  nusi::Engine e;
   e.NE = argc > 1 ? std::atoi(argv[1]) : 500;
   e.lEmin = argc > 2 ? std::atof(argv[2]) : 4.0;
   e.lEmax = argc > 3 ? std::atof(argv[3]) : 9.0;
@@ -361,8 +35,9 @@ int main(int argc, char** argv) {
   bool dump = argc > 6 && std::strcmp(argv[6], "--dump") == 0;
 
   e.mphi = 5e6; e.g = 1e-6;
-  e.mntot = std::sqrt(DMQ21) + std::sqrt(DMQ31_NO);
+  e.mntot = std::sqrt(nusi::DMQ21) + std::sqrt(nusi::DMQ31_NO);
   e.si = 2.0; e.norm = 6.0;
+  e.source_dsnb = false;  // power-law: the upstream benchmark source
   e.setup_grids();
 
   double best = 1e300;

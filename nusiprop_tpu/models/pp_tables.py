@@ -91,8 +91,8 @@ def load_default() -> PPTables:
       2. ``$NUSIPROP_PP_TABLES_BIN`` — directory holding the
          reference-format ``alphatilde_phiphi.bin``/``alpha_phiphi.bin``
          (reference resolution assumed, nuSIprop.hpp:168-169);
-      3. ``data/pp_tables*.npz`` next to the package (best match =
-         lexicographically last, so *_full sorts after *_small).
+      3. ``data/pp_tables*.npz`` next to the package; when several
+         resolutions are present the largest file (finest grid) wins.
 
     The reference exits at construction when its .bin files are missing
     (interp.hpp:203-206); we raise with the regeneration command instead.
@@ -109,10 +109,10 @@ def load_default() -> PPTables:
                            os.path.join(env, "alpha_phiphi.bin"))
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    hits = sorted(glob.glob(os.path.join(pkg_root, "data",
-                                         "pp_tables*.npz")))
+    hits = glob.glob(os.path.join(pkg_root, "data", "pp_tables*.npz"))
     if hits:
-        return load_npz(hits[-1])
+        # highest resolution wins: the biggest file is the finest table
+        return load_npz(max(hits, key=os.path.getsize))
     raise FileNotFoundError(
         "phi-phi cross-section tables not found. Generate them with\n"
         "  python tools/make_tables.py --out data/pp_tables.npz\n"

@@ -1,0 +1,140 @@
+"""ctypes binding to the native (CPU) cascade engine.
+
+``NativeEvolver`` exposes the s-channel-only engine compiled from
+``native/nusi_engine.hpp`` with (a subset of) the same API as the JAX
+``Evolver`` — the native twin of the reference's C++ public surface
+(nuSIprop.hpp:61-68, 173-174). Uses: machines without an accelerator,
+independent cross-checks of the JAX engine, and the vs_baseline
+measurement. The shared library is built on demand with g++ (no
+pybind11/Cython needed — plain C ABI).
+"""
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[1] / "native"
+_LIB_PATH = _NATIVE_DIR / "libnusiprop_native.so"
+_lib = None
+
+
+def _build_lib():
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+         "-o", str(_LIB_PATH), str(_NATIVE_DIR / "nusi_capi.cpp")],
+        check=True, cwd=_NATIVE_DIR,
+    )
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = _NATIVE_DIR / "nusi_capi.cpp"
+    hdr = _NATIVE_DIR / "nusi_engine.hpp"
+    stale = (not _LIB_PATH.exists()
+             or _LIB_PATH.stat().st_mtime < max(src.stat().st_mtime,
+                                                hdr.stat().st_mtime))
+    if stale:
+        _build_lib()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.nusi_create.restype = ctypes.c_void_p
+    lib.nusi_create.argtypes = [ctypes.c_int, ctypes.c_double,
+                                ctypes.c_double, ctypes.c_double,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int]
+    lib.nusi_set_params.argtypes = [ctypes.c_void_p] + [ctypes.c_double] * 5
+    lib.nusi_evolve.argtypes = [ctypes.c_void_p]
+    lib.nusi_n_bins.argtypes = [ctypes.c_void_p]
+    lib.nusi_n_bins.restype = ctypes.c_int
+    lib.nusi_n_steps_z.argtypes = [ctypes.c_void_p]
+    lib.nusi_n_steps_z.restype = ctypes.c_int
+    dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    for name in ("nusi_get_energies", "nusi_get_flux", "nusi_get_flux_fla"):
+        fn = getattr(lib, name)
+        fn.argtypes = [ctypes.c_void_p, dptr]
+    lib.nusi_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativeEvolver:
+    """CPU-native evolver (s-channel-only kernels).
+
+    Same constructor vocabulary as ``Evolver``; raises on options the
+    native engine does not implement (non_resonant/phiphi channels live
+    in the JAX engine only).
+    """
+
+    def __init__(self, mphi, g, mntot, si, norm=1.0, majorana=True,
+                 non_resonant=False, normal_ordering=True, N_bins_E=300,
+                 lEmin=12.0, lEmax=17.0, zmax=5.0, flav=2, phiphi=False,
+                 source="dsnb"):
+        if non_resonant or phiphi:
+            raise NotImplementedError(
+                "the native engine implements the s-channel-only "
+                "configuration; use nusiprop_tpu.Evolver for "
+                "non_resonant/phiphi")
+        if source not in ("dsnb", "powerlaw"):
+            raise ValueError(f"unknown source {source!r}")
+        self._lib = _load()
+        self._h = self._lib.nusi_create(
+            int(N_bins_E), float(lEmin), float(lEmax), float(zmax),
+            int(flav), int(bool(majorana)), int(bool(normal_ordering)),
+            int(source == "dsnb"))
+        self._n = int(N_bins_E)
+        self.set_parameters(mphi=mphi, g=g, mntot=mntot, si=si, norm=norm)
+        self.evolved = False
+
+    def set_parameters(self, mphi=None, g=None, mntot=None, si=None,
+                       norm=None):
+        cur = getattr(self, "_params", dict(mphi=0.0, g=0.0, mntot=0.0,
+                                            si=2.0, norm=1.0))
+        upd = dict(mphi=mphi, g=g, mntot=mntot, si=si, norm=norm)
+        cur.update({k: float(v) for k, v in upd.items() if v is not None})
+        self._params = cur
+        self._lib.nusi_set_params(self._h, cur["mphi"], cur["g"],
+                                  cur["mntot"], cur["si"], cur["norm"])
+        self.evolved = False
+
+    def evolve(self):
+        self._lib.nusi_evolve(self._h)
+        self.evolved = True
+        return self
+
+    def get_N_bins_E(self):
+        return self._n
+
+    def get_energies(self):
+        out = np.empty(self._n, dtype=np.float64)
+        self._lib.nusi_get_energies(self._h, out)
+        return out
+
+    def _get(self, fn):
+        if not self.evolved:
+            import warnings
+
+            warnings.warn("You have not evolved the neutrino flux! "
+                          "Zero flux will be returned.")
+            return np.zeros((3, self._n))
+        out = np.empty(3 * self._n, dtype=np.float64)
+        fn(self._h, out)
+        return out.reshape(3, self._n)
+
+    def get_flux(self):
+        return self._get(self._lib.nusi_get_flux)
+
+    def get_flux_fla(self):
+        return self._get(self._lib.nusi_get_flux_fla)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h and self._lib is not None:
+            try:
+                self._lib.nusi_destroy(h)
+            except (OSError, AttributeError):  # interpreter teardown
+                pass
+            self._h = None
