@@ -10,9 +10,12 @@ reference's serial set_parameters()+evolve() loop.
 Run: python examples/run_dsnb.py [outfile]
 """
 
+import pathlib
 import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import nusiprop_tpu as nu
 from nusiprop_tpu.utils.io import save_spectrum

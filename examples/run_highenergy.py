@@ -8,6 +8,11 @@ source is the upstream model.
 Run: python examples/run_highenergy.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import nusiprop_tpu as nu
 
 evolver = nu.Evolver(
