@@ -134,31 +134,36 @@ def alpha_s(tm, tp, smp, spp, g, mphi, ga):
 # ---------------------------------------------------------------------------
 
 def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
-                pp_tables=None):
+                pp_tables=None, channel="all"):
     """Absorption table: sum_j int_Em^Ep sigma_j dE / |U_f i|^2.
 
     Em/Ep: (N,) extended bin edges; mn: (3,); Wf: (3,) = |U[flav]|^2.
-    Returns (N,).
+    Returns (N,). ``channel`` restricts to one contribution ("s" or a
+    kernels_nr channel name) so the staged builder can compile each as a
+    separate XLA program.
     """
     ga = scalar_width(g, mphi, majorana)
     mn_c = mn[:, None]
     sp = 2.0 * mn_c * Ep[None, :] / (mphi * mphi)
     sm = 2.0 * mn_c * Em[None, :] / (mphi * mphi)
 
-    tot = gamma_s(sm, sp, g, mphi, ga)
-    if non_resonant:
+    if channel in ("all", "s"):
+        tot = gamma_s(sm, sp, g, mphi, ga)
+    else:
+        tot = jnp.zeros_like(sm)
+    if non_resonant and channel != "s":
         from nusiprop_tpu.models import kernels_nr
 
         tot = tot + kernels_nr.gamma_nonresonant(
             sm, sp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
-            pp_tables=pp_tables,
+            pp_tables=pp_tables, channel=channel,
         )
     # channels return mphi^2 * Gamma_ch, so only |U|^2/(2 mn_j) remains
     return jnp.sum(Wf[:, None] / (2.0 * mn_c) * tot, axis=0)
 
 
 def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
-                     phiphi, pp_tables=None):
+                     phiphi, pp_tables=None, channel="all"):
     """Same-bin regeneration table (N,)."""
     ga = scalar_width(g, mphi, majorana)
     mn_c = mn[:, None]
@@ -167,21 +172,24 @@ def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
     tm = _shift_near_minus1(tm)
     tp = _shift_near_minus1(tp)
 
-    tot = alphatilde_s(tm, tp, g, mphi, ga)
-    if not majorana:
-        tot = tot / 2.0  # one of the final Dirac neutrinos is sterile
-    if non_resonant:
+    if channel in ("all", "s"):
+        tot = alphatilde_s(tm, tp, g, mphi, ga)
+        if not majorana:
+            tot = tot / 2.0  # one of the final Dirac neutrinos is sterile
+    else:
+        tot = jnp.zeros_like(tm)
+    if non_resonant and channel != "s":
         from nusiprop_tpu.models import kernels_nr
 
         tot = tot + kernels_nr.alphatilde_nonresonant(
             tm, tp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
-            pp_tables=pp_tables,
+            pp_tables=pp_tables, channel=channel,
         )
     return jnp.sum(Wf[:, None] / (2.0 * mn_c) * tot, axis=0)
 
 
 def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
-                pp_tables=None):
+                pp_tables=None, channel="all"):
     """Bin-to-bin regeneration table (N, N): rows = target bin, cols =
     source bin, strictly-upper-triangular (source above target), zero
     elsewhere — the march's masked contraction relies on those zeros.
@@ -198,15 +206,18 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     spp = 2.0 * mn_c * Ep[None, None, :] / (mphi * mphi)
     smp = 2.0 * mn_c * Em[None, None, :] / (mphi * mphi)
 
-    tot = alpha_s(tm, tp, smp, spp, g, mphi, ga)
-    if not majorana:
-        tot = tot / 2.0
-    if non_resonant:
+    if channel in ("all", "s"):
+        tot = alpha_s(tm, tp, smp, spp, g, mphi, ga)
+        if not majorana:
+            tot = tot / 2.0
+    else:
+        tot = jnp.zeros_like(tm)
+    if non_resonant and channel != "s":
         from nusiprop_tpu.models import kernels_nr
 
         tot = tot + kernels_nr.alpha_nonresonant(
             tm, tp, smp, spp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
-            pp_tables=pp_tables,
+            pp_tables=pp_tables, channel=channel,
         )
     res = jnp.sum(Wf[:, None, None] / (2.0 * mn_c) * tot, axis=0)
     # strictly upper triangular: source bin index > target bin index

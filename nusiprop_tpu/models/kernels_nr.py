@@ -214,22 +214,40 @@ def gamma_pp(sm, sp, g, *, majorana: bool):
     return jnp.where(sp > 4.0, val, 0.0)
 
 
+def _sum_parts(parts, like):
+    if not parts:
+        return jnp.zeros_like(like)
+    tot = parts[0]
+    for p in parts[1:]:
+        tot = tot + p
+    return tot
+
+
 def gamma_nonresonant(sm, sp, g, mphi, ga, *, majorana, phiphi,
-                      pp_tables=None):
+                      pp_tables=None, channel="all"):
     """Sum of non-resonant Gamma channels with their multiplicities
     (nuSIprop.hpp:796-918). Returns mphi^2 * Gamma_nr; the caller applies
-    |U|^2/(2 mn)."""
+    |U|^2/(2 mn).
+
+    ``channel`` selects one contribution ("t_u", "tu", "st", "pp") or
+    "all" — the staged table builder (transport.build_tables) compiles
+    each channel as its own XLA program to keep TPU compile times sane.
+    """
     gr = ga / mphi
-    tot = 2.0 * gamma_t_u(sm, sp, g)  # x2: nu and nubar targets (:811-815)
-    tu_mult = 1.0 if majorana else 0.5  # Dirac: half the u-channel targets
-    tot = tot + tu_mult * gamma_tu(sm, sp, g)
-    st = gamma_st(sm, sp, g, gr)
-    tot = tot + st
-    if majorana:  # s-u interference equals s-t for Majorana (:874-878)
-        tot = tot + st
-    if phiphi:
-        tot = tot + gamma_pp(sm, sp, g, majorana=majorana)
-    return tot
+    parts = []
+    if channel in ("all", "t_u"):
+        # x2: nu and nubar targets (:811-815)
+        parts.append(2.0 * gamma_t_u(sm, sp, g))
+    if channel in ("all", "tu"):
+        tu_mult = 1.0 if majorana else 0.5  # Dirac: half the u-channel targets
+        parts.append(tu_mult * gamma_tu(sm, sp, g))
+    if channel in ("all", "st"):
+        st = gamma_st(sm, sp, g, gr)
+        # s-u interference equals s-t for Majorana (:874-878)
+        parts.append(2.0 * st if majorana else st)
+    if phiphi and channel in ("all", "pp"):
+        parts.append(gamma_pp(sm, sp, g, majorana=majorana))
+    return _sum_parts(parts, sm)
 
 
 # ===========================================================================
@@ -513,21 +531,26 @@ def alphatilde_pp(tm, tp, g, *, majorana: bool, pp_tables):
 
 
 def alphatilde_nonresonant(tm, tp, g, mphi, ga, *, majorana, phiphi,
-                           pp_tables=None):
+                           pp_tables=None, channel="all"):
     """Sum of non-resonant alphaTilde channels (nuSIprop.hpp:975-1233),
-    times mphi^4. Caller applies |U|^2/(2 mn)."""
+    times mphi^4. Caller applies |U|^2/(2 mn). ``channel`` as in
+    gamma_nonresonant ("t_u" covers t and u, whose rescue paths share
+    the t-channel closed form)."""
     gr = ga / mphi
-    at_t = alphatilde_t(tm, tp, g, majorana=majorana)
-    tot = at_t + alphatilde_u(tm, tp, g, at_t, majorana=majorana)
-    tot = tot + alphatilde_tu(tm, tp, g, majorana=majorana)
-    st = alphatilde_st(tm, tp, g, gr, majorana=majorana)
-    tot = tot + st
-    if majorana:
-        tot = tot + st  # s-u interference (:1188-1192)
-    if phiphi:
-        tot = tot + alphatilde_pp(tm, tp, g, majorana=majorana,
-                                  pp_tables=pp_tables)
-    return tot
+    parts = []
+    if channel in ("all", "t_u"):
+        at_t = alphatilde_t(tm, tp, g, majorana=majorana)
+        parts.append(at_t + alphatilde_u(tm, tp, g, at_t, majorana=majorana))
+    if channel in ("all", "tu"):
+        parts.append(alphatilde_tu(tm, tp, g, majorana=majorana))
+    if channel in ("all", "st"):
+        st = alphatilde_st(tm, tp, g, gr, majorana=majorana)
+        # s-u interference (:1188-1192)
+        parts.append(2.0 * st if majorana else st)
+    if phiphi and channel in ("all", "pp"):
+        parts.append(alphatilde_pp(tm, tp, g, majorana=majorana,
+                                   pp_tables=pp_tables))
+    return _sum_parts(parts, tm)
 
 
 # ===========================================================================
@@ -870,18 +893,22 @@ def alpha_pp(tm, tp, smp, spp, g, *, majorana: bool, pp_tables):
 
 
 def alpha_nonresonant(tm, tp, smp, spp, g, mphi, ga, *, majorana, phiphi,
-                      pp_tables=None):
+                      pp_tables=None, channel="all"):
     """Sum of non-resonant alpha channels (nuSIprop.hpp:1280-1518),
-    times mphi^4. Caller applies |U|^2/(2 mn)."""
+    times mphi^4. Caller applies |U|^2/(2 mn). ``channel`` as in
+    gamma_nonresonant."""
     gr = ga / mphi
-    a_t = alpha_t(tm, tp, smp, spp, g, majorana=majorana)
-    tot = a_t + alpha_u(tm, tp, smp, spp, g, a_t, majorana=majorana)
-    tot = tot + alpha_tu(tm, tp, smp, spp, g, majorana=majorana)
-    st = alpha_st(tm, tp, smp, spp, g, gr, majorana=majorana)
-    tot = tot + st
-    if majorana:
-        tot = tot + st  # s-u interference (:1474)
-    if phiphi:
-        tot = tot + alpha_pp(tm, tp, smp, spp, g, majorana=majorana,
-                             pp_tables=pp_tables)
-    return tot
+    parts = []
+    if channel in ("all", "t_u"):
+        a_t = alpha_t(tm, tp, smp, spp, g, majorana=majorana)
+        parts.append(a_t + alpha_u(tm, tp, smp, spp, g, a_t,
+                                   majorana=majorana))
+    if channel in ("all", "tu"):
+        parts.append(alpha_tu(tm, tp, smp, spp, g, majorana=majorana))
+    if channel in ("all", "st"):
+        st = alpha_st(tm, tp, smp, spp, g, gr, majorana=majorana)
+        parts.append(2.0 * st if majorana else st)  # s-u interference (:1474)
+    if phiphi and channel in ("all", "pp"):
+        parts.append(alpha_pp(tm, tp, smp, spp, g, majorana=majorana,
+                              pp_tables=pp_tables))
+    return _sum_parts(parts, tm)

@@ -117,8 +117,67 @@ def _node_affine(pref, zdr, coup, lum, flux, Wf, WfWf, offd_mask):
     return U, V
 
 
-def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
-    """Pure-function evolve; jit with cfg static (see `evolve`)."""
+def _channels(cfg: Config):
+    """Channel decomposition used by the staged table builder."""
+    if not cfg.non_resonant:
+        return ("s",)
+    ch = ["s", "t_u", "tu", "st"]
+    if cfg.phiphi:
+        ch.append("pp")
+    return tuple(ch)
+
+
+@lru_cache(maxsize=None)
+def _channel_builder_jit(cfg: Config, table: str, channel: str,
+                         batched: bool):
+    fn = {"gamma": kernels.gamma_table,
+          "alphatilde": kernels.alphatilde_table,
+          "alpha": kernels.alpha_table}[table]
+
+    def build(params, pp_tables):
+        gr = grids.build(cfg)
+        Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+        mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+        return fn(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+                  majorana=cfg.majorana, non_resonant=cfg.non_resonant,
+                  phiphi=cfg.phiphi, pp_tables=pp_tables, channel=channel)
+
+    if batched:
+        build = jax.vmap(build, in_axes=(0, None))
+    return jax.jit(build)
+
+
+def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
+                 batched: bool = False):
+    """Kernel tables (tblG, tblAt, tblA) built channel-by-channel as
+    SEPARATE XLA programs.
+
+    The monolithic non-resonant table graph (7 channels x dilog-heavy
+    closed forms x f64 emulation) takes >19 min to compile on TPU; each
+    per-channel program is a modest compile and caches independently in
+    the persistent compilation cache. Pure staging — the summed tables
+    match the in-graph build to float64 round-off (association of the
+    channel sum differs at ~1 ulp).
+    """
+    out = []
+    for table in ("gamma", "alphatilde", "alpha"):
+        acc = None
+        for ch in _channels(cfg):
+            t = _channel_builder_jit(cfg, table, ch, batched)(
+                params, pp_tables)
+            acc = t if acc is None else acc + t
+        out.append(acc)
+    return tuple(out)
+
+
+def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
+                tables=None) -> EvolveResult:
+    """Pure-function evolve; jit with cfg static (see `evolve`).
+
+    ``tables``: optional precomputed (tblG, tblAt, tblA) from
+    build_tables — passed as traced args so the march compiles as a
+    small program independent of the kernel-table graphs.
+    """
     gr = grids.build(cfg)
     NE = cfg.N_bins_E
     Nz = gr.N_steps_z
@@ -129,25 +188,31 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveRes
     mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
     norm_total = params.norm / sources.flux_fs_e0(params.si, gr.zmax_eff)
 
-    kw = dict(
-        majorana=cfg.majorana,
-        non_resonant=cfg.non_resonant,
-        phiphi=cfg.phiphi,
-        pp_tables=pp_tables,
-    )
-    tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
-    tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
-    if march == "rank1":
-        # Rank-one factorization of the alpha table: no (NEXT, NEXT)
-        # materialization at all.
-        rho_ext = kernels.alpha_s_rho(
-            gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
-            majorana=cfg.majorana,
-        )
-        dE_ext = gr.Emax_ext - gr.Emin_ext
-        tblA = None
+    if tables is not None:
+        if march == "rank1":
+            raise ValueError("precomputed tables require march='trisolve' "
+                             "or 'loop' (rank1 uses the factorized alpha)")
+        tblG, tblAt, tblA = tables
     else:
-        tblA = kernels.alpha_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
+        kw = dict(
+            majorana=cfg.majorana,
+            non_resonant=cfg.non_resonant,
+            phiphi=cfg.phiphi,
+            pp_tables=pp_tables,
+        )
+        tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
+        tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
+        if march == "rank1":
+            # Rank-one factorization of the alpha table: no (NEXT, NEXT)
+            # materialization at all.
+            rho_ext = kernels.alpha_s_rho(
+                gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+                majorana=cfg.majorana,
+            )
+            dE_ext = gr.Emax_ext - gr.Emin_ext
+            tblA = None
+        else:
+            tblA = kernels.alpha_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
 
     dE = gr.Emax - gr.Emin
     inv_dE = 1.0 / dE
@@ -289,8 +354,21 @@ def _jitted_evolve(cfg: Config):
     return jax.jit(lambda p: evolve_core(p, cfg))
 
 
+@lru_cache(maxsize=None)
+def _jitted_march_with_tables(cfg: Config):
+    return jax.jit(lambda p, t: evolve_core(p, cfg, tables=t))
+
+
 def evolve(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
-    """Evolve the flux; compiled once per Config, cached across params."""
+    """Evolve the flux; compiled once per Config, cached across params.
+
+    Non-resonant configurations build the kernel tables with the staged
+    per-channel programs (build_tables) and feed them to a small jitted
+    march — one monolithic program would take >19 min to compile on TPU.
+    """
+    if _resolve_march(cfg) != "rank1":
+        tables = build_tables(params, cfg, pp_tables=pp_tables)
+        return _jitted_march_with_tables(cfg)(params, tables)
     if pp_tables is not None:
         # tables are arrays (pytree) — jit them as traced args
         return jax.jit(

@@ -71,6 +71,12 @@ def _grid_scan_jit(params: PhysicsParams, cfg: Config, chunk_size: int,
     return jax.vmap(f)(params)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _march_batch_jit(params: PhysicsParams, tables, cfg: Config):
+    return jax.vmap(lambda p, t: transport.evolve_core(p, cfg, tables=t))(
+        params, tables)
+
+
 def grid_scan(params: PhysicsParams, cfg: Config, chunk_size: int | None = None,
               pp_tables=None):
     """Evolve a whole batch of parameter points in one compiled launch.
@@ -78,7 +84,14 @@ def grid_scan(params: PhysicsParams, cfg: Config, chunk_size: int | None = None,
     params leaves must share a leading batch axis. Returns an EvolveResult
     whose array fields carry that batch axis. pp_tables (a PPTables
     pytree) is shared across the batch when cfg.phiphi is on.
+
+    Non-resonant configurations build kernel tables with the staged
+    per-channel programs (transport.build_tables) — see docs/DESIGN.md.
     """
+    if transport._resolve_march(cfg) != "rank1" and not chunk_size:
+        tables = transport.build_tables(params, cfg, pp_tables=pp_tables,
+                                        batched=True)
+        return _march_batch_jit(params, tables, cfg)
     return _grid_scan_jit(params, cfg, int(chunk_size or 0), pp_tables)
 
 

@@ -78,7 +78,9 @@ class TestGeneratorQuadrature:
 def small_tables():
     if not DATA.exists():
         pytest.skip("small tables not generated")
-    return pp_tables.load_default()
+    # pin to the small file: the node-value assertions below
+    # compare against ITS grid (load_default may pick a finer table)
+    return pp_tables.load_npz(str(DATA))
 
 
 class TestPPTables:
