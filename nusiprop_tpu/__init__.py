@@ -21,6 +21,7 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from nusiprop_tpu.api import Evolver, pyprop
+from nusiprop_tpu.models.sources import register_source
 from nusiprop_tpu.config import Config, PhysicsParams
 from nusiprop_tpu.models.transport import (
     EvolveResult,
@@ -39,6 +40,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Evolver",
+    "register_source",
     "pyprop",
     "EvolveResult",
     "Config",

@@ -65,8 +65,13 @@ class Config:
     def __post_init__(self):
         if self.flav not in (0, 1, 2):
             raise ValueError(f"flav must be 0, 1 or 2, got {self.flav}")
-        if self.source not in ("dsnb", "powerlaw"):
-            raise ValueError(f"unknown source model {self.source!r}")
+        from nusiprop_tpu.models import sources as _sources
+
+        if self.source not in _sources.source_names():
+            raise ValueError(
+                f"unknown source model {self.source!r}; registered: "
+                f"{_sources.source_names()} (add your own with "
+                "sources.register_source)")
         if self.march not in ("auto", "rank1", "trisolve", "loop"):
             raise ValueError(f"unknown march mode {self.march!r}")
         if self.N_bins_E < 2:

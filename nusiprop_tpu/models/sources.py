@@ -141,3 +141,47 @@ def energy_fs(lEmin, lEmax, si, norm_total, zmax_eff):
         return lum_times_E(z, Em, Ep, si, norm_total) / get_H(z)
 
     return gl3_segmented(f, 0.0, zmax_eff, constants.N_INTEG_Z)
+
+
+# ---------------------------------------------------------------------------
+# Source registry (generalized sources beyond the reference's two models)
+# ---------------------------------------------------------------------------
+
+# name -> fn(z, Em, Ep, si, norm_total) returning the per-bin source
+# integral int_Em^Ep L(z, E(1+z)) dE. Must be jittable (pure jnp).
+_REGISTRY = {
+    "dsnb": lambda z, Em, Ep, si, norm_total: lum_dsnb(z, Em, Ep),
+    "powerlaw": lum_powerlaw,
+}
+
+
+def register_source(name: str, fn) -> None:
+    """Register a custom injected-source model.
+
+    ``fn(z, Em, Ep, si, norm_total) -> (NE,)`` must be a pure, jittable
+    function of JAX arrays: the per-bin integral of the comoving source
+    luminosity over [Em, Ep] at redshift z (the reference hardcodes its
+    two models at nuSIprop.hpp:638-662; here any redshift evolution or
+    spectral shape plugs in and inherits batching/sharding for free).
+    After registering, pass ``source=name`` to Config/Evolver.
+    """
+    if name in ("dsnb", "powerlaw"):
+        raise ValueError(f"cannot override built-in source {name!r}")
+    if not callable(fn):
+        raise TypeError("source fn must be callable")
+    _REGISTRY[name] = fn
+
+
+def source_names():
+    return tuple(sorted(_REGISTRY))
+
+
+def lum(name: str, z, Em, Ep, si, norm_total):
+    """Evaluate a registered source's per-bin integral."""
+    try:
+        fn = _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown source {name!r}; registered: {source_names()}"
+        ) from None
+    return fn(z, Em, Ep, si, norm_total)

@@ -75,10 +75,9 @@ def _solve3(M, b):
 
 
 def _source_lum(cfg: Config, z_src, Emin, Emax, si, norm_total):
-    """Per-bin source integral at redshift z_src (vector over bins)."""
-    if cfg.source == "dsnb":
-        return sources.lum_dsnb(z_src, Emin, Emax)
-    return sources.lum_powerlaw(z_src, Emin, Emax, si, norm_total)
+    """Per-bin source integral at redshift z_src (vector over bins);
+    dispatches through the source registry (sources.register_source)."""
+    return sources.lum(cfg.source, z_src, Emin, Emax, si, norm_total)
 
 
 def _resolve_march(cfg: Config) -> str:
