@@ -23,10 +23,12 @@ _jax.config.update("jax_enable_x64", True)
 from nusiprop_tpu.api import Evolver, pyprop
 from nusiprop_tpu.models.sources import register_source
 from nusiprop_tpu.config import Config, PhysicsParams
+from nusiprop_tpu.models.mixing import flavor_coupling_to_Q
 from nusiprop_tpu.models.transport import (
     EvolveResult,
     check_energy_conservation,
     evolve,
+    evolve_general,
 )
 from nusiprop_tpu.parallel.scan import (
     checkpointed_grid_scan,
@@ -41,6 +43,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Evolver",
     "register_source",
+    "evolve_general",
+    "flavor_coupling_to_Q",
     "pyprop",
     "EvolveResult",
     "Config",

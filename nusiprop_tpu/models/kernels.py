@@ -134,7 +134,7 @@ def alpha_s(tm, tp, smp, spp, g, mphi, ga):
 # ---------------------------------------------------------------------------
 
 def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
-                pp_tables=None, channel="all"):
+                pp_tables=None, channel="all", width_factor=1.0):
     """Absorption table: sum_j int_Em^Ep sigma_j dE / |U_f i|^2.
 
     Em/Ep: (N,) extended bin edges; mn: (3,); Wf: (3,) = |U[flav]|^2.
@@ -142,7 +142,7 @@ def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     kernels_nr channel name) so the staged builder can compile each as a
     separate XLA program.
     """
-    ga = scalar_width(g, mphi, majorana)
+    ga = scalar_width(g, mphi, majorana) * width_factor
     mn_c = mn[:, None]
     sp = 2.0 * mn_c * Ep[None, :] / (mphi * mphi)
     sm = 2.0 * mn_c * Em[None, :] / (mphi * mphi)
@@ -159,13 +159,15 @@ def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
             pp_tables=pp_tables, channel=channel,
         )
     # channels return mphi^2 * Gamma_ch, so only |U|^2/(2 mn_j) remains
+    if Wf is None:  # per-bath-eigenstate table for non-diagonal couplings
+        return tot / (2.0 * mn_c)
     return jnp.sum(Wf[:, None] / (2.0 * mn_c) * tot, axis=0)
 
 
 def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
-                     phiphi, pp_tables=None, channel="all"):
+                     phiphi, pp_tables=None, channel="all", width_factor=1.0):
     """Same-bin regeneration table (N,)."""
-    ga = scalar_width(g, mphi, majorana)
+    ga = scalar_width(g, mphi, majorana) * width_factor
     mn_c = mn[:, None]
     tp = -2.0 * mn_c * Ep[None, :] / (mphi * mphi)
     tm = -2.0 * mn_c * Em[None, :] / (mphi * mphi)
@@ -185,16 +187,18 @@ def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
             tm, tp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
             pp_tables=pp_tables, channel=channel,
         )
+    if Wf is None:
+        return tot / (2.0 * mn_c)
     return jnp.sum(Wf[:, None] / (2.0 * mn_c) * tot, axis=0)
 
 
 def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
-                pp_tables=None, channel="all"):
+                pp_tables=None, channel="all", width_factor=1.0):
     """Bin-to-bin regeneration table (N, N): rows = target bin, cols =
     source bin, strictly-upper-triangular (source above target), zero
     elsewhere — the march's masked contraction relies on those zeros.
     """
-    ga = scalar_width(g, mphi, majorana)
+    ga = scalar_width(g, mphi, majorana) * width_factor
     N = Em.shape[0]
     mn_c = mn[:, None, None]
     # target-bin limits along rows
@@ -219,12 +223,14 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
             tm, tp, smp, spp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
             pp_tables=pp_tables, channel=channel,
         )
+    if Wf is None:
+        return jnp.triu(tot / (2.0 * mn_c), k=1)
     res = jnp.sum(Wf[:, None, None] / (2.0 * mn_c) * tot, axis=0)
     # strictly upper triangular: source bin index > target bin index
     return jnp.triu(res, k=1)
 
 
-def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana):
+def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=1.0):
     """Source-side factor of the (exactly rank-one) s-channel alpha table.
 
     alpha_s (nuSIprop.hpp:1264-1269) factorizes as (tm - tp)_target x
@@ -242,7 +248,7 @@ def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana):
 
     Returns (N,) for (N,) bin-edge arrays.
     """
-    ga = scalar_width(g, mphi, majorana)
+    ga = scalar_width(g, mphi, majorana) * width_factor
     mn_c = mn[:, None]
     tp = -2.0 * mn_c * Ep[None, :] / (mphi * mphi)
     tm = -2.0 * mn_c * Em[None, :] / (mphi * mphi)

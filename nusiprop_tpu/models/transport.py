@@ -55,6 +55,24 @@ class EvolveResult(NamedTuple):
     mn: jnp.ndarray        # (3,) mass eigenvalues [eV]
 
 
+def _inv3(M):
+    """Closed-form 3x3 inverse via the adjugate, batched over any leading
+    axes (M: (..., 3, 3))."""
+    a, b_, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b_ * B + c * C
+    adj = jnp.stack([
+        jnp.stack([A, -(b_ * i - c * h), b_ * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b_ * g), a * e - b_ * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
 def _solve3(M, b):
     """Closed-form 3x3 linear solve via the adjugate, batched over any
     leading axes (M: (..., 3, 3), b: (..., 3)). Replaces the reference's
@@ -128,26 +146,29 @@ def _channels(cfg: Config):
 
 @lru_cache(maxsize=None)
 def _channel_builder_jit(cfg: Config, table: str, channel: str,
-                         batched: bool):
+                         batched: bool, per_state: bool = False):
     fn = {"gamma": kernels.gamma_table,
           "alphatilde": kernels.alphatilde_table,
           "alpha": kernels.alpha_table}[table]
 
-    def build(params, pp_tables):
+    def build(params, pp_tables, width_factor):
         gr = grids.build(cfg)
-        Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+        Wf = (None if per_state
+              else jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav])
         mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
         return fn(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
                   majorana=cfg.majorana, non_resonant=cfg.non_resonant,
-                  phiphi=cfg.phiphi, pp_tables=pp_tables, channel=channel)
+                  phiphi=cfg.phiphi, pp_tables=pp_tables, channel=channel,
+                  width_factor=width_factor)
 
     if batched:
-        build = jax.vmap(build, in_axes=(0, None))
+        build = jax.vmap(build, in_axes=(0, None, None))
     return jax.jit(build)
 
 
 def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
-                 batched: bool = False):
+                 batched: bool = False, per_state: bool = False,
+                 width_factor=1.0):
     """Kernel tables (tblG, tblAt, tblA) built channel-by-channel as
     SEPARATE XLA programs.
 
@@ -157,13 +178,18 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
     the persistent compilation cache. Pure staging — the summed tables
     match the in-graph build to float64 round-off (association of the
     channel sum differs at ~1 ulp).
+
+    per_state=True skips the |U|^2 eigenstate reduction (tables keep the
+    leading bath-eigenstate axis) for non-diagonal flavor couplings;
+    width_factor scales the scalar width by sum(Q) (evolve_general).
     """
+    width_factor = jnp.asarray(width_factor, dtype=jnp.float64)
     out = []
     for table in ("gamma", "alphatilde", "alpha"):
         acc = None
         for ch in _channels(cfg):
-            t = _channel_builder_jit(cfg, table, ch, batched)(
-                params, pp_tables)
+            t = _channel_builder_jit(cfg, table, ch, batched, per_state)(
+                params, pp_tables, width_factor)
             acc = t if acc is None else acc + t
         out.append(acc)
     return tuple(out)
@@ -374,6 +400,128 @@ def evolve(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
             lambda p, t: evolve_core(p, cfg, pp_tables=t)
         )(params, pp_tables)
     return _jitted_evolve(cfg)(params)
+
+
+# ---------------------------------------------------------------------------
+# Non-diagonal flavor-space interactions (BASELINE.json config 5)
+# ---------------------------------------------------------------------------
+
+def _march_general(params: PhysicsParams, Q, tables, cfg: Config) -> EvolveResult:
+    """Implicit march for a general mass-basis coupling matrix.
+
+    Q[i, j] = |g_ij|^2 / g^2 (symmetric, non-negative): the squared
+    coupling of mass eigenstates (i, j) to the scalar relative to the
+    overall scale params.g. The reference's flavor-diagonal case is the
+    rank-one Q = w w^T with w = |U[flav, :]|^2 (nuSIprop.hpp structure);
+    here Q is arbitrary, which covers e.g. couplings to several flavors
+    or direct mass-basis textures.
+
+    Structure (derivation in docs/DESIGN.md): absorption of eigenstate k
+    on bath j weights as Q[k, j]; regeneration nu_l + bath -> phi ->
+    nu_k + nu_n weights as (Q-contracted table over the bath) x branching
+    B_k = sum_n Q[k, n] / sum(Q). The per-bin update stays affine in ONE
+    scalar regeneration feed, so the sweep still closes into a scalar
+    triangular solve.
+    """
+    gr = grids.build(cfg)
+    NE = cfg.N_bins_E
+    Nz = gr.N_steps_z
+
+    Wsq = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))
+    mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+    norm_total = params.norm / sources.flux_fs_e0(params.si, gr.zmax_eff)
+
+    tblG_s, tblAt_s, tblA_s = tables          # (3, NEXT), (3, NEXT), (3, NEXT, NEXT)
+    # Each 2->2 process carries |g_prod|^2 x (sum over decay pairs |g|^2)
+    # = g^4 Q_prod * sum(Q) * branching — the channel closed forms supply
+    # g^4, so the contraction weight is Q * sum(Q). (Diagonal reference
+    # case: sum(Q) = (sum|U_f|^2)^2 = 1, invisible there. Verified by the
+    # exact rescaling invariance g -> sqrt(c) g  <=>  Q -> c Q,
+    # tests/test_general_coupling.py.)
+    sumQ = jnp.sum(Q)
+    Qs = Q * sumQ
+    Geff = Qs @ tblG_s                        # (3, NEXT): absorption of k
+    Ateff = Qs @ tblAt_s                      # (3, NEXT): regen, in-state l
+    Aeff = jnp.einsum("lb,bjm->ljm", Qs, tblA_s)  # (3, NE_ext, NE_ext)
+    B = jnp.sum(Q, axis=1) / sumQ             # decay branching to state k
+
+    dE = gr.Emax - gr.Emin
+    inv_dE = 1.0 / dE
+    dlogz = gr.dlogz
+    z = gr.z
+    offd_mask = 1.0 - jnp.eye(3, dtype=jnp.float64)
+    eyeNE = jnp.eye(NE, dtype=jnp.float64)
+
+    def z_step(flux, i):
+        zim = z[i - 1]
+        zi = z[i]
+        H = sources.get_H(zim)
+        ndfac = sources.get_nd(zim) / (1.0 + zim) ** 2
+        pref = (1.0 + zim) * dlogz / H
+
+        G_i = lax.dynamic_slice(Geff, (0, i - 1), (3, NE)) * ndfac
+        At_i = lax.dynamic_slice(Ateff, (0, i - 1), (3, NE)) * ndfac
+        A_i = lax.dynamic_slice(Aeff, (0, i - 1, i - 1), (3, NE, NE)) * ndfac
+
+        lum = _source_lum(cfg, zi, gr.Emin, gr.Emax, params.si, norm_total)
+
+        # Zdr[k, j]: absorption minus self-regeneration (nuSIprop.hpp:294
+        # with Wf_k -> B_k, Wf-weighted tables -> Q-contracted tables)
+        Zdr = 1.0 + pref * (G_i - B[:, None] * At_i) * inv_dE[None, :]
+        zdr_t = Zdr.T  # (NE, 3)
+
+        # M[j, k, l] = delta_kl + offd * B_k At_i[l, j] / dE_j / Zdr[k, j]
+        M = jnp.eye(3, dtype=jnp.float64)[None] + offd_mask[None] * (
+            B[None, :, None] * At_i.T[:, None, :] * inv_dE[:, None, None]
+            / zdr_t[:, :, None]
+        )
+        Minv = _inv3(M)  # (NE, 3, 3)
+        U = jnp.einsum("jkl,jl->jk", Minv, pref * B[None, :] / zdr_t)
+        V = jnp.einsum("jkl,jl->jk", Minv,
+                       (flux.T + pref * lum[:, None]) / zdr_t)
+
+        # scalar feed r_j = sum_{m>j} sum_l x[l, m] Aeff[l, j, m] / dE_m,
+        # x = V + r U  ->  (I - Ku) r = Kv 1  (strict upper triangular)
+        K = A_i * inv_dE[None, None, :]            # (3, NE, NE)
+        Ku = jnp.einsum("ml,ljm->jm", U, K)        # (NE, NE)
+        Kv = jnp.einsum("ml,ljm->jm", V, K)
+        rv = jnp.sum(Kv, axis=1)
+        T = eyeNE - Ku
+        r = jax.scipy.linalg.solve_triangular(T, rv, lower=False,
+                                              unit_diagonal=True)
+        x = V + r[:, None] * U
+        return x.T, None
+
+    flux0 = jnp.zeros((3, NE), dtype=jnp.float64)
+    flux, _ = lax.scan(z_step, flux0, jnp.arange(Nz - 1, 0, -1))
+
+    flux = flux * inv_dE[None, :]
+    flux_fla = Wsq @ flux
+
+    return EvolveResult(flux=flux, flux_fla=flux_fla, E_nu=gr.E_nu,
+                        Emin=gr.Emin, Emax=gr.Emax, z=z, mn=mn)
+
+
+@lru_cache(maxsize=None)
+def _jitted_general_march(cfg: Config):
+    return jax.jit(lambda p, q, t: _march_general(p, q, t, cfg))
+
+
+def evolve_general(params: PhysicsParams, Q, cfg: Config,
+                   pp_tables=None) -> EvolveResult:
+    """Evolve with a non-diagonal mass-basis coupling matrix Q.
+
+    Q[i, j] = |g_ij|^2 / params.g^2. The scalar decay width scales with
+    sum(Q) (all open decay channels). Reduces exactly to `evolve` when
+    Q = w w^T with w = |U[cfg.flav]|^2 (tests/test_general_coupling.py).
+    """
+    Q = jnp.asarray(Q, dtype=jnp.float64)
+    if Q.shape != (3, 3):
+        raise ValueError(f"Q must be (3, 3), got {Q.shape}")
+    width_factor = jnp.sum(Q)
+    tables = build_tables(params, cfg, pp_tables=pp_tables, per_state=True,
+                          width_factor=width_factor)
+    return _jitted_general_march(cfg)(params, Q, tables)
 
 
 def check_energy_conservation(params: PhysicsParams, cfg: Config,
