@@ -134,7 +134,7 @@ def alpha_s(tm, tp, smp, spp, g, mphi, ga):
 # ---------------------------------------------------------------------------
 
 def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
-                pp_tables=None, channel="all", width_factor=1.0):
+                pp_tables=None, channel="all", width_factor=None):
     """Absorption table: sum_j int_Em^Ep sigma_j dE / |U_f i|^2.
 
     Em/Ep: (N,) extended bin edges; mn: (3,); Wf: (3,) = |U[flav]|^2.
@@ -142,7 +142,9 @@ def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     kernels_nr channel name) so the staged builder can compile each as a
     separate XLA program.
     """
-    ga = scalar_width(g, mphi, majorana) * width_factor
+    ga = scalar_width(g, mphi, majorana)
+    if width_factor is not None:  # general couplings: width ~ sum(Q)
+        ga = ga * width_factor
     mn_c = mn[:, None]
     sp = 2.0 * mn_c * Ep[None, :] / (mphi * mphi)
     sm = 2.0 * mn_c * Em[None, :] / (mphi * mphi)
@@ -165,9 +167,11 @@ def gamma_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
 
 
 def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
-                     phiphi, pp_tables=None, channel="all", width_factor=1.0):
+                     phiphi, pp_tables=None, channel="all", width_factor=None):
     """Same-bin regeneration table (N,)."""
-    ga = scalar_width(g, mphi, majorana) * width_factor
+    ga = scalar_width(g, mphi, majorana)
+    if width_factor is not None:  # general couplings: width ~ sum(Q)
+        ga = ga * width_factor
     mn_c = mn[:, None]
     tp = -2.0 * mn_c * Ep[None, :] / (mphi * mphi)
     tm = -2.0 * mn_c * Em[None, :] / (mphi * mphi)
@@ -193,12 +197,14 @@ def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
 
 
 def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
-                pp_tables=None, channel="all", width_factor=1.0):
+                pp_tables=None, channel="all", width_factor=None):
     """Bin-to-bin regeneration table (N, N): rows = target bin, cols =
     source bin, strictly-upper-triangular (source above target), zero
     elsewhere — the march's masked contraction relies on those zeros.
     """
-    ga = scalar_width(g, mphi, majorana) * width_factor
+    ga = scalar_width(g, mphi, majorana)
+    if width_factor is not None:  # general couplings: width ~ sum(Q)
+        ga = ga * width_factor
     N = Em.shape[0]
     mn_c = mn[:, None, None]
     # target-bin limits along rows
@@ -230,7 +236,7 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     return jnp.triu(res, k=1)
 
 
-def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=1.0):
+def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=None):
     """Source-side factor of the (exactly rank-one) s-channel alpha table.
 
     alpha_s (nuSIprop.hpp:1264-1269) factorizes as (tm - tp)_target x
@@ -248,7 +254,9 @@ def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=1.0):
 
     Returns (N,) for (N,) bin-edge arrays.
     """
-    ga = scalar_width(g, mphi, majorana) * width_factor
+    ga = scalar_width(g, mphi, majorana)
+    if width_factor is not None:  # general couplings: width ~ sum(Q)
+        ga = ga * width_factor
     mn_c = mn[:, None]
     tp = -2.0 * mn_c * Ep[None, :] / (mphi * mphi)
     tm = -2.0 * mn_c * Em[None, :] / (mphi * mphi)

@@ -151,18 +151,24 @@ def _channel_builder_jit(cfg: Config, table: str, channel: str,
           "alphatilde": kernels.alphatilde_table,
           "alpha": kernels.alpha_table}[table]
 
-    def build(params, pp_tables, width_factor):
+    def build(params, pp_tables, *wf_arg):
+        # width_factor is threaded ONLY for per_state (general-coupling)
+        # builds: keeping the diagonal program signature free of the
+        # extra parameter keeps its persistent-compile-cache entries
+        # stable (a signature change invalidates every cached channel).
         gr = grids.build(cfg)
         Wf = (None if per_state
               else jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav])
         mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+        kw = {"width_factor": wf_arg[0]} if per_state else {}
         return fn(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
                   majorana=cfg.majorana, non_resonant=cfg.non_resonant,
                   phiphi=cfg.phiphi, pp_tables=pp_tables, channel=channel,
-                  width_factor=width_factor)
+                  **kw)
 
     if batched:
-        build = jax.vmap(build, in_axes=(0, None, None))
+        in_axes = (0, None, None) if per_state else (0, None)
+        build = jax.vmap(build, in_axes=in_axes)
     return jax.jit(build)
 
 
@@ -183,13 +189,14 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
     leading bath-eigenstate axis) for non-diagonal flavor couplings;
     width_factor scales the scalar width by sum(Q) (evolve_general).
     """
-    width_factor = jnp.asarray(width_factor, dtype=jnp.float64)
+    args = ((jnp.asarray(width_factor, dtype=jnp.float64),) if per_state
+            else ())
     out = []
     for table in ("gamma", "alphatilde", "alpha"):
         acc = None
         for ch in _channels(cfg):
             t = _channel_builder_jit(cfg, table, ch, batched, per_state)(
-                params, pp_tables, width_factor)
+                params, pp_tables, *args)
             acc = t if acc is None else acc + t
         out.append(acc)
     return tuple(out)
