@@ -38,13 +38,18 @@ class Evolver:
       zmax            ---- Largest source redshift [5]
       flav            ---- Flavor of interacting neutrinos 0=e 1=mu 2=tau [2]
       phiphi          ---- Include double-scalar production [True]
-      source          ---- "dsnb" (reference-fork default) or "powerlaw"
+      source          ---- "dsnb" (reference-fork default), "powerlaw",
+                           or any name added via register_source [dsnb]
+      coupling_matrix ---- optional (3, 3) mass-basis |g_ij|^2/g^2 for
+                           non-diagonal flavor structures (overrides
+                           ``flav``; see flavor_coupling_to_Q) [None]
     """
 
     def __init__(self, mphi, g, mntot, si, norm=1.0,
                  majorana=True, non_resonant=True, normal_ordering=True,
                  N_bins_E=300, lEmin=12.0, lEmax=17.0,
-                 zmax=5.0, flav=2, phiphi=True, source="dsnb"):
+                 zmax=5.0, flav=2, phiphi=True, source="dsnb",
+                 coupling_matrix=None):
         self.config = Config(
             majorana=bool(majorana),
             non_resonant=bool(non_resonant),
@@ -58,6 +63,13 @@ class Evolver:
             source=source,
         )
         self.params = PhysicsParams.create(mphi, g, mntot, si, norm)
+        # Optional mass-basis coupling-squared matrix Q_ij = |g_ij|^2/g^2
+        # (non-diagonal flavor structures; see transport.evolve_general
+        # and mixing.flavor_coupling_to_Q). None = the reference's
+        # flavor-diagonal interaction picked by `flav`.
+        self.coupling_matrix = (None if coupling_matrix is None
+                                else np.asarray(coupling_matrix,
+                                                dtype=np.float64))
         # Load interpolation tables only when needed, like the reference
         # ("for speed reasons", nuSIprop.hpp:59, 166-170).
         self._pp_tables = None
@@ -129,8 +141,13 @@ class Evolver:
 
     def evolve(self):
         """Evolve the neutrino flux."""
-        self._result = transport.evolve(self.params, self.config,
-                                        pp_tables=self._pp_tables)
+        if self.coupling_matrix is not None:
+            self._result = transport.evolve_general(
+                self.params, self.coupling_matrix, self.config,
+                pp_tables=self._pp_tables)
+        else:
+            self._result = transport.evolve(self.params, self.config,
+                                            pp_tables=self._pp_tables)
         self.evolved = True
         return self
 

@@ -91,3 +91,15 @@ def test_q_validation(cfg, params):
         transport.evolve_general(params, np.ones((2, 2)), cfg)
     with pytest.raises(ValueError):
         mixing.flavor_coupling_to_Q(np.ones((4, 3)))
+
+
+def test_evolver_coupling_matrix(cfg, params):
+    import nusiprop_tpu as nu
+
+    Q = np.full((3, 3), 1.0 / 9.0)
+    ev = nu.Evolver(mphi=6e5, g=0.01, mntot=0.1, si=2.5, norm=1.0,
+                    N_bins_E=48, lEmin=9, lEmax=14, non_resonant=False,
+                    phiphi=False, source="powerlaw", coupling_matrix=Q)
+    ev.evolve()
+    ref = np.asarray(transport.evolve_general(params, Q, cfg).flux_fla)
+    np.testing.assert_allclose(ev.get_flux_fla(), ref, rtol=1e-13)
