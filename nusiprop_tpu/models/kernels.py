@@ -202,19 +202,27 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     source bin, strictly-upper-triangular (source above target), zero
     elsewhere — the march's masked contraction relies on those zeros.
     """
+    import numpy as _np
+
     ga = scalar_width(g, mphi, majorana)
     if width_factor is not None:  # general couplings: width ~ sum(Q)
         ga = ga * width_factor
     N = Em.shape[0]
-    mn_c = mn[:, None, None]
-    # target-bin limits along rows
-    tp = -2.0 * mn_c * Ep[None, :, None] / (mphi * mphi)
-    tm = -2.0 * mn_c * Em[None, :, None] / (mphi * mphi)
+    mn_c = mn[:, None]
+    # Only the strict upper triangle (source bin above target bin) is
+    # physical — evaluate the transcendental-heavy channels on the
+    # flattened N(N-1)/2 pairs and scatter, HALVING the dominant cost of
+    # a non-resonant evolve. Indices are static (shapes fix them).
+    rows, cols = _np.triu_indices(N, k=1)
+    rows = jnp.asarray(rows)
+    cols = jnp.asarray(cols)
+    # target-bin limits from rows, source-bin limits from cols: (3, NT)
+    tp = -2.0 * mn_c * Ep[rows][None, :] / (mphi * mphi)
+    tm = -2.0 * mn_c * Em[rows][None, :] / (mphi * mphi)
     tm = _shift_near_minus1(tm)
     tp = _shift_near_minus1(tp)
-    # source-bin limits along cols
-    spp = 2.0 * mn_c * Ep[None, None, :] / (mphi * mphi)
-    smp = 2.0 * mn_c * Em[None, None, :] / (mphi * mphi)
+    spp = 2.0 * mn_c * Ep[cols][None, :] / (mphi * mphi)
+    smp = 2.0 * mn_c * Em[cols][None, :] / (mphi * mphi)
 
     if channel in ("all", "s"):
         tot = alpha_s(tm, tp, smp, spp, g, mphi, ga)
@@ -229,11 +237,13 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
             tm, tp, smp, spp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
             pp_tables=pp_tables, channel=channel,
         )
+    tot = tot / (2.0 * mn_c)
     if Wf is None:
-        return jnp.triu(tot / (2.0 * mn_c), k=1)
-    res = jnp.sum(Wf[:, None, None] / (2.0 * mn_c) * tot, axis=0)
-    # strictly upper triangular: source bin index > target bin index
-    return jnp.triu(res, k=1)
+        out = jnp.zeros((3, N, N), dtype=tot.dtype)
+        return out.at[:, rows, cols].set(tot)
+    res = jnp.sum(Wf[:, None] * tot, axis=0)  # (NT,)
+    out = jnp.zeros((N, N), dtype=res.dtype)
+    return out.at[rows, cols].set(res)
 
 
 def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=None):
