@@ -77,7 +77,10 @@ def main():
 
     baseline_file = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
     vs_baseline = 0.0
-    if baseline_file.exists():
+    if baseline_file.exists() and not cfg.non_resonant:
+        # the measured serial-C++ denominator is the s-channel-only
+        # algorithm (the reference's benchmark path); comparing a
+        # non-resonant run against it would be apples-to-oranges
         base = json.loads(baseline_file.read_text())
         base_zsps = base.get("serial_cpp_zsteps_per_sec_500bins")
         if base_zsps:
