@@ -45,6 +45,12 @@ from nusiprop_tpu.config import Config, PhysicsParams
 from nusiprop_tpu.models import grids, kernels, masses, mixing, sources
 
 
+# Exact power-of-two rescaling of the regeneration accumulation weight
+# (see z_step_rank1): c * 2^100 always pairs with d * 2^-100.
+_RSCALE = 2.0 ** 100
+_INV_RSCALE = 2.0 ** -100
+
+
 class EvolveResult(NamedTuple):
     flux: jnp.ndarray      # (3, NE) differential flux, mass basis
     flux_fla: jnp.ndarray  # (3, NE) differential flux, flavor basis (e, mu, tau)
@@ -309,8 +315,15 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         order replaces the 500-step sequential chain.
         """
         ndfac, pref, lum, Zdr, coup = node_common(flux, i)
-        d_w = lax.dynamic_slice(dE_ext, (i - 1,), (NE,))
-        rho_w = lax.dynamic_slice(rho_ext, (i - 1,), (NE,)) * ndfac
+        # RANGE SAFETY: the raw accumulation weight rho*nd/dE sits around
+        # 1e-37 — at the floor of the f32 exponent range that TPU f64
+        # emulation carries, where entries flush to zero and silently
+        # kill regeneration. Rescale by an exact power of two; every use
+        # pairs c (scaled up) with d (scaled down), so CPU f64 results
+        # are bit-identical.
+        d_w = lax.dynamic_slice(dE_ext, (i - 1,), (NE,)) * _INV_RSCALE
+        rho_w = lax.dynamic_slice(rho_ext, (i - 1,), (NE,)) * (
+            ndfac * _RSCALE)
 
         U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf, WfWf, offd_mask)
         c_w = rho_w * inv_dE  # accumulation weight of each source bin
