@@ -223,6 +223,27 @@ def _sum_parts(parts, like):
     return tot
 
 
+# RANGE SAFETY (TPU): the emulated-f64 exponent range is float32's
+# (~1e+/-38). A floored massless eigenstate gives dimensionless
+# coordinates down to |s|,|t| ~ 1e-24, whose negative powers (up to
+# 1/z^4, e.g. the alphatilde_st tail) overflow to inf — which then
+# survives the "negative => rescue" selection and poisons the table.
+# Entries whose coordinates sit below 1e-8 are >~12 decades under the
+# same table's physically active entries (channel values fall at least
+# ~z^2), so the dispatchers evaluate the channels on floored
+# coordinates (keeping 1/z^4 >= 1e-32, representable) and then ZERO the
+# sub-floor entries outright — no spurious values, no inf.
+_COORD_FLOOR = 1e-8
+
+
+def _floor_s(x):
+    return jnp.maximum(x, _COORD_FLOOR)
+
+
+def _floor_t(x):
+    return jnp.minimum(x, -_COORD_FLOOR)
+
+
 def gamma_nonresonant(sm, sp, g, mphi, ga, *, majorana, phiphi,
                       pp_tables=None, channel="all"):
     """Sum of non-resonant Gamma channels with their multiplicities
@@ -234,6 +255,9 @@ def gamma_nonresonant(sm, sp, g, mphi, ga, *, majorana, phiphi,
     each channel as its own XLA program to keep TPU compile times sane.
     """
     gr = ga / mphi
+    ok = sp >= _COORD_FLOOR
+    sm = _floor_s(sm)
+    sp = _floor_s(sp)
     parts = []
     if channel in ("all", "t_u"):
         # x2: nu and nubar targets (:811-815)
@@ -247,7 +271,7 @@ def gamma_nonresonant(sm, sp, g, mphi, ga, *, majorana, phiphi,
         parts.append(2.0 * st if majorana else st)
     if phiphi and channel in ("all", "pp"):
         parts.append(gamma_pp(sm, sp, g, majorana=majorana))
-    return _sum_parts(parts, sm)
+    return jnp.where(ok, _sum_parts(parts, sm), 0.0)
 
 
 # ===========================================================================
@@ -537,6 +561,9 @@ def alphatilde_nonresonant(tm, tp, g, mphi, ga, *, majorana, phiphi,
     gamma_nonresonant ("t_u" covers t and u, whose rescue paths share
     the t-channel closed form)."""
     gr = ga / mphi
+    ok = -tp >= _COORD_FLOOR
+    tm = _floor_t(tm)
+    tp = _floor_t(tp)
     parts = []
     if channel in ("all", "t_u"):
         at_t = alphatilde_t(tm, tp, g, majorana=majorana)
@@ -550,7 +577,7 @@ def alphatilde_nonresonant(tm, tp, g, mphi, ga, *, majorana, phiphi,
     if phiphi and channel in ("all", "pp"):
         parts.append(alphatilde_pp(tm, tp, g, majorana=majorana,
                                    pp_tables=pp_tables))
-    return _sum_parts(parts, tm)
+    return jnp.where(ok, _sum_parts(parts, tm), 0.0)
 
 
 # ===========================================================================
@@ -898,6 +925,11 @@ def alpha_nonresonant(tm, tp, smp, spp, g, mphi, ga, *, majorana, phiphi,
     times mphi^4. Caller applies |U|^2/(2 mn). ``channel`` as in
     gamma_nonresonant."""
     gr = ga / mphi
+    ok = (-tp >= _COORD_FLOOR) & (spp >= _COORD_FLOOR)
+    tm = _floor_t(tm)
+    tp = _floor_t(tp)
+    smp = _floor_s(smp)
+    spp = _floor_s(spp)
     parts = []
     if channel in ("all", "t_u"):
         a_t = alpha_t(tm, tp, smp, spp, g, majorana=majorana)
@@ -911,4 +943,4 @@ def alpha_nonresonant(tm, tp, smp, spp, g, mphi, ga, *, majorana, phiphi,
     if phiphi and channel in ("all", "pp"):
         parts.append(alpha_pp(tm, tp, smp, spp, g, majorana=majorana,
                               pp_tables=pp_tables))
-    return _sum_parts(parts, tm)
+    return jnp.where(ok, _sum_parts(parts, tm), 0.0)
