@@ -56,10 +56,21 @@ def main():
         np.geomspace(1e5, 1e8, batch), [1e-2], mntot=mntot, si=2.0, norm=6.0
     )
 
+    # BENCH_PALLAS=1: run the fused double-single Pallas march instead of
+    # the XLA rank1 march (s-channel configs only; ops/march_ds.py)
+    use_pallas = (bool(int(os.environ.get("BENCH_PALLAS", "0")))
+                  and not cfg.non_resonant)
+    if use_pallas:
+        from nusiprop_tpu.ops.march_ds import evolve_pallas
+
+        run = lambda p: evolve_pallas(p, cfg)
+    else:
+        run = lambda p: nu.grid_scan(p, cfg).flux
+
     # warmup/compile. NOTE: on the tunneled TPU, block_until_ready does not
     # reliably block; a scalar reduction materialized to host is the only
     # trustworthy fence, so all timings include that fence.
-    warm = nu.grid_scan(params, cfg).flux
+    warm = run(params)
     if not bool(jnp.isfinite(warm).all()):
         raise SystemExit("bench aborted: non-finite flux — refusing to time garbage")
     float(jnp.sum(warm))
@@ -69,7 +80,7 @@ def main():
     for r in range(reps):
         p = jax.tree.map(lambda x: x * (1.0 + 1e-12 * (r + 1)), params)
         t0 = time.perf_counter()
-        float(jnp.sum(nu.grid_scan(p, cfg).flux))
+        float(jnp.sum(run(p)))
         times.append(time.perf_counter() - t0)
     wall = min(times)
 
@@ -96,6 +107,7 @@ def main():
                 "batch": batch,
                 "wall_sec_per_batch": round(wall, 4),
                 "device": str(jax.devices()[0]),
+                "march": ("pallas-ds" if use_pallas else ("trisolve" if cfg.non_resonant else "rank1")),
             }
         )
     )
