@@ -1,0 +1,38 @@
+"""The examples (reference-driver equivalents, C23) must run end to end."""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _run(script, *args, timeout=600):
+    return subprocess.run(
+        [sys.executable, str(ROOT / "examples" / script), *args],
+        capture_output=True, text=True, timeout=timeout,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root"},
+        cwd=ROOT, check=True,
+    )
+
+
+def test_run_dsnb(tmp_path):
+    out = _run("run_dsnb.py", str(tmp_path / "spec.txt"))
+    assert "grid scan: 32 points" in out.stdout
+    data = np.loadtxt(tmp_path / "spec.txt", skiprows=1)
+    assert data.shape == (100, 4)
+    golden = np.loadtxt(ROOT / "tests" / "data" / "data_massless.txt",
+                        skiprows=1)
+    # the example IS the golden configuration
+    np.testing.assert_allclose(data[:, 1:], golden[:, 1:], rtol=2e-4)
+
+
+def test_run_highenergy():
+    out = _run("run_highenergy.py")
+    lines = [l for l in out.stdout.splitlines() if not l.startswith("#")]
+    vals = np.array([[float(x) for x in l.split()] for l in lines])
+    assert vals.shape == (100, 4)
+    assert np.isfinite(vals).all() and (vals[:, 1:] > 0).all()
