@@ -1,0 +1,92 @@
+"""Cross-check TPU numerics against CPU float64 ground truth.
+
+Runs the same batched evolve on the attached TPU and on CPU (true f64)
+and reports worst-case per-bin disagreement over the representable
+range. This is the guard against the class of bug where the TPU's
+emulated-f64 exponent range (float32's) silently flushes or overflows
+an intermediate: results stay finite and plausible but wrong (see
+docs/DESIGN.md "TPU numerics hardening").
+
+Usage: python tools/tpu_crosscheck.py [--nr] [--batch 4] [--pallas]
+"""
+
+import argparse
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+_WORKER = r"""
+import sys, json
+import numpy as np
+platform = sys.argv[1]
+out_path = sys.argv[2]
+nr = bool(int(sys.argv[3]))
+batch = int(sys.argv[4])
+use_pallas = bool(int(sys.argv[5]))
+
+import jax
+if platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", str(%r))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import nusiprop_tpu as nu
+from nusiprop_tpu.config import Config
+
+cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
+             non_resonant=nr, phiphi=False)
+mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [1e-2],
+                       mntot=mntot, si=2.0, norm=6.0)
+if use_pallas:
+    from nusiprop_tpu.ops.march_ds import evolve_pallas
+    flux = np.asarray(evolve_pallas(params, cfg))
+else:
+    flux = np.asarray(nu.grid_scan(params, cfg).flux_fla)
+np.save(out_path, flux)
+print("device:", jax.devices()[0])
+""" % (ROOT / ".jax_cache")
+
+
+def run(platform, out, nr, batch, use_pallas):
+    subprocess.run(
+        [sys.executable, "-c", _WORKER, platform, out, str(int(nr)),
+         str(batch), str(int(use_pallas))],
+        check=True, cwd=ROOT, timeout=3000)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nr", action="store_true")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--pallas", action="store_true")
+    args = ap.parse_args()
+
+    with tempfile.TemporaryDirectory() as td:
+        tf = f"{td}/tpu.npy"
+        cf = f"{td}/cpu.npy"
+        run("tpu", tf, args.nr, args.batch, args.pallas)
+        run("cpu", cf, args.nr, args.batch, False)
+        tpu = np.load(tf)
+        cpu = np.load(cf)
+
+    # compare on bins representable in the TPU's f32 exponent envelope
+    scale = np.abs(cpu).max(axis=(1, 2), keepdims=True)
+    mask = np.abs(cpu) > scale * 1e-25
+    rel = np.abs(tpu - cpu)[mask] / np.abs(cpu)[mask]
+    print(f"bins compared: {mask.sum()}/{cpu.size}")
+    print(f"max rel disagreement: {rel.max():.3e}")
+    print(f"mean rel disagreement: {rel.mean():.3e}")
+    if rel.max() > 1e-3:
+        raise SystemExit("FAIL: TPU disagrees with CPU beyond the "
+                         "physical gate")
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
