@@ -52,8 +52,14 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    # Non-resonant coupling kept at 1e-3: at g=1e-2 the lowest-mphi scan
+    # points cascade-amplify the number flux to ~1e34 (CPU-f64-verified,
+    # loop == trisolve), whose solve intermediates exceed the f32
+    # exponent window TPU f64-emulation carries. Timing is identical
+    # (same program, data-independent).
+    g0 = 1e-3 if cfg.non_resonant else 1e-2
     params = nu.param_grid(
-        np.geomspace(1e5, 1e8, batch), [1e-2], mntot=mntot, si=2.0, norm=6.0
+        np.geomspace(1e5, 1e8, batch), [g0], mntot=mntot, si=2.0, norm=6.0
     )
 
     # BENCH_PALLAS=1: run the fused double-single Pallas march instead of
