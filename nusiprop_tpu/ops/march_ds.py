@@ -89,14 +89,17 @@ def prepare_rank1_inputs(params: PhysicsParams, cfg: Config, lane: int = 128):
     # it up and DW down by an exact power of two (each use pairs them).
     # DW also absorbs the bare implicit prefactor (the U solve is done
     # without it, so no scalar-indexed input is needed in the kernel).
+    # Groupings matter on TPU: d_w*pref ~ 1e39 overflows BEFORE /RS and
+    # rho*inv_dE ~ 1e-45 underflows BEFORE *RS — parenthesize the scale
+    # onto the small factor first.
     RS = 2.0 ** 100
     rows = dict(
         PG=pref[:, None] * G_w * inv_dE[None, :],   # Zdr Gamma part
         PAt=pref[:, None] * At_w * inv_dE[None, :],  # Zdr alphaTilde part
         PL=pref[:, None] * lum,                      # source counts
         CO=At_w * inv_dE[None, :],                   # 3x3 coupling
-        CW=rho_w * inv_dE[None, :] * RS,             # cum accumulation wt
-        DW=d_w * pref[:, None] / RS,                 # bin width x pref
+        CW=rho_w * (inv_dE[None, :] * RS),           # cum accumulation wt
+        DW=d_w * (pref[:, None] / RS),               # bin width x pref
     )
     NEP = lane * math.ceil(NE / lane)
     out = {}
@@ -117,16 +120,28 @@ def prepare_rank1_inputs(params: PhysicsParams, cfg: Config, lane: int = 128):
 # ds helpers used by the body (tuple-of-(hi, lo) convention)
 # ---------------------------------------------------------------------------
 
-def _shift1(x, d, fill):
+def _shift_concat(x, d, fill):
     """Shift x right by d along the last axis, filling with `fill`
-    (static concat + slice: Mosaic-friendly, no iota/roll needed)."""
+    (static concat + slice: the plain-JAX implementation)."""
     pad = jnp.full(x.shape[:-1] + (d,), fill, x.dtype)
     return jnp.concatenate([pad, x[..., :-d]], axis=-1)
 
 
-def _prefix_affine(a, b):
+def _shift_mosaic(x, d, fill):
+    """Kernel-side shift: pltpu.roll + 2-D iota mask (Mosaic cannot
+    lower lane-dim concatenation of 1-D vectors)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x2 = x[None, :]
+    rolled = pltpu.roll(x2, jnp.int32(d), 1)
+    mask = lax.broadcasted_iota(jnp.int32, x2.shape, 1) < d
+    return jnp.where(mask, jnp.asarray(fill, x.dtype), rolled)[0]
+
+
+def _prefix_affine(a, b, shift):
     """Inclusive prefix composition of affine maps s -> a*s + b along the
     last axis, in log depth (Hillis-Steele doubling). a, b are ds pairs."""
+    _shift1 = shift
     (ah, al), (bh, bl) = a, b
     n = ah.shape[-1]
     d = 1
@@ -189,22 +204,19 @@ def _zero_like(x):
 # the march body (value semantics; runs in plain JAX and inside Pallas)
 # ---------------------------------------------------------------------------
 
-def _march_body(inp, n_steps: int, W_static):
-    """Run the full z-march; inp values are the prepared ds arrays for
-    ONE parameter point, W_static the baked-in (hi, lo) PMNS weights.
-    Returns flux (3 ds pairs, processing order)."""
-    f32c = jnp.float32
-    W = [(jnp.asarray(h, f32c), jnp.asarray(l, f32c)) for h, l in W_static]
+def _march_body(row, n_steps: int, W_static, NEP: int, dtype,
+                shift=_shift_concat, unroll=False):
+    """Run the full z-march for ONE parameter point.
+
+    ``row(name, t) -> (hi, lo)`` loads a per-z-node input row — a value
+    dynamic-slice in plain JAX, a ref load inside the Pallas kernel
+    (Mosaic has no dynamic_slice on values). W_static: baked-in (hi, lo)
+    PMNS weights. Returns flux (3 ds pairs, processing order)."""
+    W = [(jnp.asarray(h, dtype), jnp.asarray(l, dtype)) for h, l in W_static]
     W2 = [_mul(w, w) for w in W]
 
-    NEP = inp["PG_h"].shape[-1]
-    f32 = inp["PG_h"].dtype
-    zero = jnp.zeros((NEP,), f32)
+    zero = jnp.zeros((NEP,), dtype)
     flux0 = (zero, zero, zero, zero, zero, zero)  # 3 x (hi, lo)
-
-    def row(name, t):
-        return (lax.dynamic_index_in_dim(inp[name + "_h"], t, 0, False),
-                lax.dynamic_index_in_dim(inp[name + "_l"], t, 0, False))
 
     def step(t, carry):
         f0h, f0l, f1h, f1l, f2h, f2l = carry
@@ -262,8 +274,8 @@ def _march_body(inp, n_steps: int, W_static):
         vw = _dot_w(V, W)
         a = _add(_one_like(uw), _mul(_mul(CW, DW), uw))
         b = _mul(CW, vw)
-        _, B_inc = _prefix_affine(a, b)
-        cum = (_shift1(B_inc[0], 1, 0.0), _shift1(B_inc[1], 1, 0.0))
+        _, B_inc = _prefix_affine(a, b, shift)
+        cum = (shift(B_inc[0], 1, 0.0), shift(B_inc[1], 1, 0.0))
         cd = _mul(cum, DW)
 
         new = []
@@ -272,7 +284,14 @@ def _march_body(inp, n_steps: int, W_static):
             new.extend(xk)
         return tuple(new)
 
-    out = lax.fori_loop(0, n_steps, step, flux0)
+    if unroll:
+        # static unroll: Mosaic-friendly (static row indices, no i64
+        # induction variable), and n_steps is a small static constant
+        out = flux0
+        for t in range(n_steps):
+            out = step(t, out)
+    else:
+        out = lax.fori_loop(0, n_steps, step, flux0)
     return [(out[0], out[1]), (out[2], out[3]), (out[4], out[5])]
 
 
@@ -282,7 +301,12 @@ def _march_body(inp, n_steps: int, W_static):
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _march_ds_jit(inp, n_steps, W_static):
-    return _march_body(inp, n_steps, W_static)
+    def row(name, t):
+        return (lax.dynamic_index_in_dim(inp[name + "_h"], t, 0, False),
+                lax.dynamic_index_in_dim(inp[name + "_l"], t, 0, False))
+
+    NEP = inp["PG_h"].shape[-1]
+    return _march_body(row, n_steps, W_static, NEP, inp["PG_h"].dtype)
 
 
 def march_ds(params: PhysicsParams, cfg: Config):
@@ -310,21 +334,30 @@ def _postprocess(pairs, cfg, meta, batched=False):
 _ROW_NAMES = ("PG", "PAt", "PL", "CO", "CW", "DW")
 
 
-def _make_kernel(n_steps: int, W_static):
+def _make_kernel(n_steps: int, W_static, NEP: int, interpret: bool):
     def kernel(*refs):
         # refs: 12 row refs (h/l x 6) + 6 out refs
-        vals = {}
+        rref = {}
         i = 0
         for name in _ROW_NAMES:
-            vals[name + "_h"] = refs[i][0]
-            vals[name + "_l"] = refs[i + 1][0]
+            rref[name + "_h"] = refs[i]
+            rref[name + "_l"] = refs[i + 1]
             i += 2
         outs = refs[i:]
-        pairs = _march_body(vals, n_steps, W_static)
+
+        def row(name, t):
+            # block shape (1, Ns, NEP): dynamic row load from the ref
+            return (rref[name + "_h"][0, t], rref[name + "_l"][0, t])
+
+        pairs = _march_body(row, n_steps, W_static, NEP,
+                            rref["PG_h"].dtype,
+                            shift=(_shift_concat if interpret
+                                   else _shift_mosaic),
+                            unroll=not interpret)
         flat = [pairs[0][0], pairs[0][1], pairs[1][0], pairs[1][1],
                 pairs[2][0], pairs[2][1]]
         for o, v in zip(outs, flat):
-            o[0] = v
+            o[0, 0] = v
 
     return kernel
 
@@ -347,17 +380,24 @@ def march_pallas_batched(inp, meta, interpret: bool = False):
         for suf in ("_h", "_l"):
             args.append(inp[name + suf])
             in_specs.append(pl.BlockSpec((1, Ns, NEP), lambda b: (b, 0, 0)))
-    out_shape = [jax.ShapeDtypeStruct((B, NEP), f32)] * 6
-    out_specs = [pl.BlockSpec((1, NEP), lambda b: (b, 0))] * 6
+    # outputs carry a singleton axis so the (1, NEP) block equals the
+    # trailing array dims (Mosaic tiling requirement)
+    out_shape = [jax.ShapeDtypeStruct((B, 1, NEP), f32)] * 6
+    out_specs = [pl.BlockSpec((1, 1, NEP), lambda b: (b, 0, 0))] * 6
 
-    outs = pl.pallas_call(
-        _make_kernel(Ns, meta["W"]),
+    call = pl.pallas_call(
+        _make_kernel(Ns, meta["W"], NEP, interpret),
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*args)
+    )
+    # the kernel is pure f32; trace it with x64 off so no i64 scalars
+    # (loop indices, index_map results) leak into the Mosaic module
+    with jax.enable_x64(False):
+        outs = call(*args)
+    outs = [o[:, 0, :] for o in outs]
     return [(outs[0], outs[1]), (outs[2], outs[3]), (outs[4], outs[5])]
 
 
