@@ -34,7 +34,7 @@ from jax import lax
 
 from nusiprop_tpu.config import Config, PhysicsParams
 from nusiprop_tpu.models import grids, kernels, masses, mixing, sources
-from nusiprop_tpu.models.transport import _resolve_march, _source_lum
+from nusiprop_tpu.models.transport import _source_lum
 from nusiprop_tpu.ops import ds
 
 
@@ -194,10 +194,6 @@ def _recip(x):
 
 def _one_like(x):
     return (jnp.ones_like(x[0]), jnp.zeros_like(x[1]))
-
-
-def _zero_like(x):
-    return (jnp.zeros_like(x[0]), jnp.zeros_like(x[1]))
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ import numpy as np
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 _WORKER = r"""
-import sys, json
+import sys
 import numpy as np
 platform = sys.argv[1]
 out_path = sys.argv[2]
