@@ -39,7 +39,12 @@ def main():
     import nusiprop_tpu as nu
     from nusiprop_tpu.config import Config
     from nusiprop_tpu.models import grids
+    from nusiprop_tpu.models.transport import _resolve_march as transport_march
 
+    # BENCH_F32=1: the free-streaming-preconditioned NATIVE-f32 march
+    # (march="rank1_f32") — no f64 emulation on TPU; ~1e-6 vs the f64
+    # engine on bins within 10 decades of peak.
+    march = "rank1_f32" if int(os.environ.get("BENCH_F32", "0")) else "auto"
     cfg = Config(
         N_bins_E=500,
         lEmin=4.0,
@@ -47,6 +52,7 @@ def main():
         zmax=5.0,
         non_resonant=bool(int(os.environ.get("BENCH_NON_RESONANT", "0"))),
         phiphi=False,
+        march=march,
     )
     nz = grids.n_steps_z(cfg)
 
@@ -113,7 +119,7 @@ def main():
                 "batch": batch,
                 "wall_sec_per_batch": round(wall, 4),
                 "device": str(jax.devices()[0]),
-                "march": ("pallas-ds" if use_pallas else ("trisolve" if cfg.non_resonant else "rank1")),
+                "march": ("pallas-ds" if use_pallas else transport_march(cfg)),
             }
         )
     )

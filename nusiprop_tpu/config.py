@@ -49,6 +49,9 @@ class Config:
     #                rank-one structure of the s-channel alpha kernel
     #                (TPU-native form of the reference's alpha_cum fast
     #                path, nuSIprop.hpp:261-264, 273-278);
+    #   "rank1_f32" — rank1 preconditioned by the free-streaming
+    #                solution and run in NATIVE float32 (no f64
+    #                emulation on TPU); ~1e-5 round-off vs rank1;
     #   "trisolve" — the sweep as one scalar triangular solve (general
     #                kernels);
     #   "loop"     — literal descending-bin lax.scan (reference-shaped;
@@ -72,7 +75,8 @@ class Config:
                 f"unknown source model {self.source!r}; registered: "
                 f"{_sources.source_names()} (add your own with "
                 "sources.register_source)")
-        if self.march not in ("auto", "rank1", "trisolve", "loop"):
+        if self.march not in ("auto", "rank1", "rank1_f32", "trisolve",
+                              "loop"):
             raise ValueError(f"unknown march mode {self.march!r}")
         if self.N_bins_E < 2:
             raise ValueError("need at least 2 energy bins")

@@ -67,3 +67,27 @@ def test_rank1_rejects_nonresonant(base_cfg):
     cfg = dataclasses.replace(base_cfg, non_resonant=True, march="rank1")
     with pytest.raises(ValueError, match="rank1"):
         _run(cfg)
+
+
+def test_rank1_f32_matches_f64(base_cfg):
+    """The free-streaming-preconditioned native-f32 march must agree with
+    the f64 engine far inside the physical gate on every bin within 10
+    decades of peak (f32 round-off touches only the interaction
+    corrections; see transport.march_rank1_f32)."""
+    ref = _run(dataclasses.replace(base_cfg, march="rank1"))
+    f32 = _run(dataclasses.replace(base_cfg, march="rank1_f32"))
+    m = np.abs(ref) > np.abs(ref).max() * 1e-10
+    rel = np.max(np.abs(f32 - ref)[m] / np.abs(ref)[m])
+    assert rel < 1e-4, rel
+
+
+def test_rank1_f32_strong_coupling():
+    cfg = Config(N_bins_E=80, lEmin=9.0, lEmax=14.0, zmax=5.0,
+                 non_resonant=False, phiphi=False, source="powerlaw")
+    p = PhysicsParams.create(3e5, 0.02, 0.1, 2.5, 1.0)
+    ref = np.asarray(transport.evolve(p, cfg).flux_fla)
+    f32 = np.asarray(transport.evolve(
+        p, dataclasses.replace(cfg, march="rank1_f32")).flux_fla)
+    m = np.abs(ref) > np.abs(ref).max() * 1e-10
+    rel = np.max(np.abs(f32 - ref)[m] / np.abs(ref)[m])
+    assert rel < 1e-4, rel
