@@ -384,17 +384,21 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         src_counts = pref_a[:, None] * lum_a
         S = jnp.cumsum(src_counts, axis=0)
         N0 = jnp.max(S)
-        S = jnp.maximum(S / N0, 1e-18)
+        S = jnp.maximum(S / N0, 1e-15)
         S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
 
+        # Groupings below respect the emulated-f64 exponent window on
+        # TPU: pref*d_w ~ 1e39 would overflow before a divide, and
+        # rho*inv_dE ~ 1e-45 would underflow before a rescale — the
+        # small/large compensating factor always binds first.
         rows = dict(
-            PG=(pref_a[:, None] * G_w * inv_dE[None, :]),
-            PAt=(pref_a[:, None] * At_w * inv_dE[None, :]),
+            PG=(pref_a[:, None] * G_w) * inv_dE[None, :],
+            PAt=(pref_a[:, None] * At_w) * inv_dE[None, :],
             CO=(At_w * inv_dE[None, :]),
             R0=S_old / S,                                # fs carry ratio
             S0=src_counts / (N0 * S),                    # source in phi
-            CF=(rho_w * inv_dE[None, :]) * (N0 * S),     # cum weight
-            PD=(pref_a[:, None] * d_w) / (N0 * S),       # reg scale
+            CF=rho_w * ((inv_dE[None, :] * N0) * S),     # cum weight
+            PD=pref_a[:, None] * (d_w / (N0 * S)),       # reg scale
         )
         rows = {k: v.astype(f32) for k, v in rows.items()}
         Wf32 = Wf.astype(f32)
