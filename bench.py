@@ -53,6 +53,7 @@ def main():
         non_resonant=bool(int(os.environ.get("BENCH_NON_RESONANT", "0"))),
         phiphi=False,
         march=march,
+        march_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     nz = grids.n_steps_z(cfg)
 

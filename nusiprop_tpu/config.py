@@ -57,6 +57,10 @@ class Config:
     #   "loop"     — literal descending-bin lax.scan (reference-shaped;
     #                kept as the cross-validation oracle).
     march: str = "auto"
+    # lax.scan unroll factor for the z march (rank1_f32 path): >1 lets
+    # XLA fuse consecutive z-steps, cutting per-step launch latency on
+    # the latency-bound small-batch regime. Exact same arithmetic.
+    march_unroll: int = 1
 
     @classmethod
     def cpp_defaults(cls, **kw) -> "Config":
@@ -78,6 +82,8 @@ class Config:
         if self.march not in ("auto", "rank1", "rank1_f32", "trisolve",
                               "loop"):
             raise ValueError(f"unknown march mode {self.march!r}")
+        if self.march_unroll < 1:
+            raise ValueError("march_unroll must be >= 1")
         if self.N_bins_E < 2:
             raise ValueError("need at least 2 energy bins")
         if self.lEmax <= self.lEmin:

@@ -115,7 +115,7 @@ def _resolve_march(cfg: Config) -> str:
     return cfg.march
 
 
-def _node_affine(pref, zdr, coup, lum, flux, Wf, WfWf, offd_mask):
+def _node_affine(pref, zdr, coup, lum, flux, Wf):
     """Shared per-z-node affine reduction of the implicit update.
 
     Solving the 3x3 system M x = (flux_old + pref*(lum + reg*Wf))/zdr
@@ -128,16 +128,135 @@ def _node_affine(pref, zdr, coup, lum, flux, Wf, WfWf, offd_mask):
     = (1+z) dlogz / H is ~1e31, so U must not pick up any further large
     factor before it meets the (tiny) regeneration feed — callers multiply
     bin widths into reg, never into U.
+
+    Row-scaling the system by zdr exposes the exact structure
+    (diag(d) + coup w w^T) x = r with d_k = zdr_k - coup w_k^2, w = Wf:
+    a rank-one update of a diagonal, solved by Sherman-Morrison with a
+    few (NE, 3) elementwise ops — no (NE, 3, 3) tensors, which both
+    slashes HBM traffic and cuts the emulated-f64 op count. The `loop`
+    march keeps the adjugate _solve3 as an independent oracle
+    (tests/test_march.py pins them together to 1e-11).
     """
     zdr_t = zdr.T  # (NE, 3)
-    M = jnp.eye(3, dtype=zdr.dtype)[None] + offd_mask[None] * (
-        coup[:, None, None] * WfWf[None] / zdr_t[:, :, None]
-    )
-    rhs_v = (flux.T + pref * lum[:, None]) / zdr_t
-    rhs_u = pref * Wf[None, :] / zdr_t
-    V = _solve3(M, rhs_v)
-    U = _solve3(M, rhs_u)
+    d = zdr_t - coup[:, None] * (Wf * Wf)[None, :]
+    w_d = Wf[None, :] / d
+    wu = jnp.sum(Wf[None, :] * w_d, axis=1)
+    s = 1.0 + coup * wu
+    rv = flux.T + pref * lum[:, None]
+    rv_d = rv / d
+    wv = jnp.sum(Wf[None, :] * rv_d, axis=1)
+    V = rv_d - (coup * wv / s)[:, None] * w_d
+    U = pref * w_d / s[:, None]
     return U, V
+
+
+def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
+                    tblG, tblAt, rho_ext, dE_ext):
+    """Per-z-node coefficient rows for the native-f32 march, plus the
+    free-streaming preconditioner scale of the final node.
+
+    Precondition the flux by the free-streaming solution: with
+    S(t, j) = cumulative source counts (floored; any positive array is a
+    valid preconditioner) and phi = F / (N0 S), every march variable
+    becomes an O(1)-ish ratio, so the whole sweep can run in f32 — the
+    TPU's native dtype — while the kernel tables and all coefficient
+    rows here are built in float64 and only then cast. Module-level so
+    tools/bench_split.py can time this stage on its own.
+    """
+    f32 = jnp.float32
+    NE = cfg.N_bins_E
+    Nz = gr.N_steps_z
+    inv_dE = 1.0 / (gr.Emax - gr.Emin)
+    steps = jnp.arange(Nz - 1, 0, -1)
+    zim = gr.z[steps - 1]
+    zi = gr.z[steps]
+    ndfac_a = sources.get_nd(zim) / (1.0 + zim) ** 2
+    pref_a = (1.0 + zim) * gr.dlogz / sources.get_H(zim)
+
+    idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
+    G_w = tblG[idx] * ndfac_a[:, None]
+    At_w = tblAt[idx] * ndfac_a[:, None]
+    rho_w = rho_ext[idx] * ndfac_a[:, None]
+    d_w = dE_ext[idx]
+    lum_a = jax.vmap(
+        lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
+                               norm_total))(zi)
+
+    # free-streaming preconditioner (counts after each node), floored
+    src_counts = pref_a[:, None] * lum_a
+    S = jnp.cumsum(src_counts, axis=0)
+    N0 = jnp.max(S)
+    S = jnp.maximum(S / N0, 1e-15)
+    S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
+
+    # Groupings below respect the emulated-f64 exponent window on
+    # TPU: pref*d_w ~ 1e39 would overflow before a divide, and
+    # rho*inv_dE ~ 1e-45 would underflow before a rescale — the
+    # small/large compensating factor always binds first.
+    rows = dict(
+        PG=(pref_a[:, None] * G_w) * inv_dE[None, :],
+        PAt=(pref_a[:, None] * At_w) * inv_dE[None, :],
+        CO=(At_w * inv_dE[None, :]),
+        R0=S_old / S,                                # fs carry ratio
+        S0=src_counts / (N0 * S),                    # source in phi
+        CF=rho_w * ((inv_dE[None, :] * N0) * S),     # cum weight
+        PD=pref_a[:, None] * (d_w / (N0 * S)),       # reg scale
+    )
+    xs = tuple(rows[k].astype(f32)
+               for k in ("PG", "PAt", "CO", "R0", "S0", "CF", "PD"))
+    return xs, (N0 * S[-1])
+
+
+def _rank1_f32_scan(xs, Wf, NE: int, unroll: int = 1):
+    """The native-f32 redshift march over precomputed coefficient rows.
+
+    Exactness is by construction (same affine recurrence as rank1); the
+    cost is f32 round-off (~1e-5 after 78 steps, vs the 1e-3 physical
+    gate) and flushing of flux components below ~1e-38 of the LOCAL
+    free-streaming scale. Returns preconditioned flux phi (3, NE) f32.
+    """
+    f32 = jnp.float32
+    Wf32 = Wf.astype(f32)
+    Wf232 = Wf32 * Wf32
+
+    def step(phi, xs_i):
+        PG, PAt, CO, R0, S0, CF, PD = xs_i
+        zdr_t = 1.0 + (PG[:, None] * Wf32[None, :]
+                       - PAt[:, None] * Wf232[None, :])  # (NE, 3)
+        # The 3x3 implicit system, row-scaled by zdr, is exactly
+        #   (diag(d) + c w w^T) x = r,  d_k = zdr_k - c W_k^2, w = W,
+        # a rank-one update of a diagonal: Sherman-Morrison solves it
+        # with a handful of (NE, 3) elementwise ops and two k-
+        # reductions — no (NE, 3, 3) tensors materialize.
+        d = zdr_t - CO[:, None] * Wf232[None, :]
+        w_d = Wf32[None, :] / d                     # w/d  (NE, 3)
+        wu = jnp.sum(Wf32[None, :] * w_d, axis=1)   # w . (w/d)  (NE,)
+        s = 1.0 + CO * wu
+        rv = phi.T * R0[:, None] + S0[:, None]      # raw numerator
+        rv_d = rv / d
+        wv = jnp.sum(Wf32[None, :] * rv_d, axis=1)  # w . (rv/d)
+        V = rv_d - (CO * wv / s)[:, None] * w_d
+        U = w_d / s[:, None]   # SM collapses: (I - c/s w_d w^T) w_d
+        # w . x = (w . r/d) / s  exactly under Sherman-Morrison
+        a = 1.0 + (CF * PD) * (wu / s)
+        b = CF * (wv / s)
+        a_r = jnp.flip(a, axis=0)
+        b_r = jnp.flip(b, axis=0)
+
+        def compose(lo, hi):
+            al, bl = lo
+            ah, bh = hi
+            return ah * al, ah * bl + bh
+
+        _, B_inc = lax.associative_scan(compose, (a_r, b_r), axis=0)
+        cum = jnp.flip(jnp.concatenate(
+            [jnp.zeros_like(B_inc[:1]), B_inc[:-1]], axis=0), axis=0)
+        x = V + (cum * PD)[:, None] * U
+        return x.T, None
+
+    phi0 = jnp.zeros((3, NE), dtype=f32)
+    phi, _ = lax.scan(step, phi0, xs, unroll=unroll)
+    return phi
 
 
 def _channels(cfg: Config):
@@ -325,7 +444,7 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         rho_w = lax.dynamic_slice(rho_ext, (i - 1,), (NE,)) * (
             ndfac * _RSCALE)
 
-        U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf, WfWf, offd_mask)
+        U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf)
         c_w = rho_w * inv_dE  # accumulation weight of each source bin
         # d_w (target-bin width) multiplies the tiny c_w/cum factors, NOT
         # U, whose pref ~ 1e31 would overflow the emulated-f64 range.
@@ -350,97 +469,6 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         x = V + (cum * d_w)[:, None] * U
         return x.T, None
 
-    def march_rank1_f32():
-        """s-channel march in NATIVE float32 (no f64 emulation on TPU).
-
-        Precondition the flux by the free-streaming solution: with
-        S(t, j) = cumulative source counts (floored; any positive array
-        is a valid preconditioner) and phi = F / (N0 S), every march
-        variable becomes an O(1)-ish ratio, so the whole sweep runs in
-        f32 — the TPU's native dtype — while the kernel tables and all
-        coefficient rows are still built in float64 and only then cast.
-        Exactness is by construction (same affine recurrence as rank1);
-        the cost is f32 round-off (~1e-5 after 78 steps, vs the 1e-3
-        physical gate) and flushing of flux components below ~1e-38 of
-        the LOCAL free-streaming scale.
-        """
-        f32 = jnp.float32
-        steps = jnp.arange(Nz - 1, 0, -1)
-        zim = z[steps - 1]
-        zi = z[steps]
-        ndfac_a = sources.get_nd(zim) / (1.0 + zim) ** 2
-        pref_a = (1.0 + zim) * dlogz / sources.get_H(zim)
-
-        idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
-        G_w = tblG[idx] * ndfac_a[:, None]
-        At_w = tblAt[idx] * ndfac_a[:, None]
-        rho_w = rho_ext[idx] * ndfac_a[:, None]
-        d_w = dE_ext[idx]
-        lum_a = jax.vmap(
-            lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
-                                   norm_total))(zi)
-
-        # free-streaming preconditioner (counts after each node), floored
-        src_counts = pref_a[:, None] * lum_a
-        S = jnp.cumsum(src_counts, axis=0)
-        N0 = jnp.max(S)
-        S = jnp.maximum(S / N0, 1e-15)
-        S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
-
-        # Groupings below respect the emulated-f64 exponent window on
-        # TPU: pref*d_w ~ 1e39 would overflow before a divide, and
-        # rho*inv_dE ~ 1e-45 would underflow before a rescale — the
-        # small/large compensating factor always binds first.
-        rows = dict(
-            PG=(pref_a[:, None] * G_w) * inv_dE[None, :],
-            PAt=(pref_a[:, None] * At_w) * inv_dE[None, :],
-            CO=(At_w * inv_dE[None, :]),
-            R0=S_old / S,                                # fs carry ratio
-            S0=src_counts / (N0 * S),                    # source in phi
-            CF=rho_w * ((inv_dE[None, :] * N0) * S),     # cum weight
-            PD=pref_a[:, None] * (d_w / (N0 * S)),       # reg scale
-        )
-        rows = {k: v.astype(f32) for k, v in rows.items()}
-        Wf32 = Wf.astype(f32)
-        Wf232 = Wf32 * Wf32
-        WfWf32 = jnp.outer(Wf32, Wf32)
-        offd32 = offd_mask.astype(f32)
-
-        def step(phi, xs):
-            PG, PAt, CO, R0, S0, CF, PD = xs
-            zdr = 1.0 + (PG[None, :] * Wf32[:, None]
-                         - PAt[None, :] * Wf232[:, None])
-            zdr_t = zdr.T
-            M = jnp.eye(3, dtype=f32)[None] + offd32[None] * (
-                CO[:, None, None] * WfWf32[None] / zdr_t[:, :, None])
-            Minv = _inv3(M)
-            V = jnp.einsum("jkl,jl->jk", Minv,
-                           (phi.T * R0[:, None] + S0[:, None]) / zdr_t)
-            U = jnp.einsum("jkl,jl->jk", Minv, Wf32[None, :] / zdr_t)
-
-            a = 1.0 + (CF * PD) * (U @ Wf32)
-            b = CF * (V @ Wf32)
-            a_r = jnp.flip(a, axis=0)
-            b_r = jnp.flip(b, axis=0)
-
-            def compose(lo, hi):
-                al, bl = lo
-                ah, bh = hi
-                return ah * al, ah * bl + bh
-
-            _, B_inc = lax.associative_scan(compose, (a_r, b_r), axis=0)
-            cum = jnp.flip(jnp.concatenate(
-                [jnp.zeros_like(B_inc[:1]), B_inc[:-1]], axis=0), axis=0)
-            x = V + (cum * PD)[:, None] * U
-            return x.T, None
-
-        phi0 = jnp.zeros((3, NE), dtype=f32)
-        xs = tuple(rows[k] for k in ("PG", "PAt", "CO", "R0", "S0", "CF",
-                                     "PD"))
-        phi, _ = lax.scan(step, phi0, xs)
-        # back to counts in f64 (the last processed node's preconditioner)
-        return phi.astype(jnp.float64) * (N0 * S[-1])[None, :]
-
     def z_step_trisolve(flux, i):
         """General-kernel sweep as one scalar triangular solve.
 
@@ -453,7 +481,7 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         ndfac, pref, lum, Zdr, coup = node_common(flux, i)
         A_i = lax.dynamic_slice(tblA, (i - 1, i - 1), (NE, NE)) * ndfac
 
-        U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf, WfWf, offd_mask)
+        U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf)
         K = A_i * inv_dE[None, :]
         pu = U @ Wf
         qv = V @ Wf
@@ -466,7 +494,11 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         return x.T, None
 
     if march == "rank1_f32":
-        flux = march_rank1_f32()
+        xs, scale = _rank1_f32_rows(cfg, gr, params, norm_total,
+                                    tblG, tblAt, rho_ext, dE_ext)
+        phi = _rank1_f32_scan(xs, Wf, NE, unroll=cfg.march_unroll)
+        # back to counts in f64 (the last node's preconditioner scale)
+        flux = phi.astype(jnp.float64) * scale[None, :]
     else:
         z_step = {"loop": z_step_loop, "rank1": z_step_rank1,
                   "trisolve": z_step_trisolve}[march]

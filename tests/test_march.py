@@ -81,6 +81,15 @@ def test_rank1_f32_matches_f64(base_cfg):
     assert rel < 1e-4, rel
 
 
+def test_march_unroll_identical(base_cfg):
+    """Unrolling the z-scan is a scheduling choice, not an arithmetic
+    one: results must be bit-identical to the unroll=1 program."""
+    one = _run(dataclasses.replace(base_cfg, march="rank1_f32"))
+    four = _run(dataclasses.replace(base_cfg, march="rank1_f32",
+                                    march_unroll=4))
+    assert np.array_equal(one, four)
+
+
 def test_rank1_f32_strong_coupling():
     cfg = Config(N_bins_E=80, lEmin=9.0, lEmax=14.0, zmax=5.0,
                  non_resonant=False, phiphi=False, source="powerlaw")

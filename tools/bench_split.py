@@ -1,0 +1,94 @@
+"""Split the headline-bench wallclock into kernel-table build vs march.
+
+The rank1_f32 march runs natively in float32, but its kernel tables
+(gamma / alphatilde / rho on the extended bin axis) are still built in
+emulated float64. This tool times (a) the full evolve, (b) a
+tables-only program, on the bench shapes, to show where the remaining
+wall goes and whether an f32 table build is worth pursuing.
+
+Usage: python tools/bench_split.py [batch]
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    import nusiprop_tpu as nu
+    from nusiprop_tpu.config import Config
+    from nusiprop_tpu.models import grids, kernels, masses, mixing, sources
+    from nusiprop_tpu.models import transport
+
+    cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=False, phiphi=False, march="rank1_f32")
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [1e-2],
+                           mntot=mntot, si=2.0, norm=6.0)
+
+    gr = grids.build(cfg)
+    Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+
+    def one_tables(q):
+        mn = masses.mass_spectrum(q.mntot, cfg.normal_ordering)
+        kw = dict(majorana=cfg.majorana, non_resonant=False, phiphi=False)
+        tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, q.g,
+                                   q.mphi, Wf, **kw)
+        tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn,
+                                         q.g, q.mphi, Wf, **kw)
+        rho = kernels.alpha_s_rho(gr.Emin_ext, gr.Emax_ext, mn, q.g,
+                                  q.mphi, Wf, majorana=cfg.majorana)
+        return tblG, tblAt, rho
+
+    @jax.jit
+    def tables_only(p):
+        out = jax.vmap(one_tables)(p)
+        return out[0] + out[1] + out[2]
+
+    @jax.jit
+    def tables_and_rows(p):
+        def one(q):
+            tblG, tblAt, rho = one_tables(q)
+            norm_total = q.norm / sources.flux_fs_e0(q.si, gr.zmax_eff)
+            xs, scale = transport._rank1_f32_rows(
+                cfg, gr, q, norm_total, tblG, tblAt, rho,
+                gr.Emax_ext - gr.Emin_ext)
+            return sum(jnp.sum(x) for x in xs) + jnp.sum(scale)
+
+        return jax.vmap(one)(p)
+
+    def timeit(fn, arg, label):
+        out = fn(arg)
+        float(jnp.sum(out))  # fence (see bench.py note)
+        times = []
+        for r in range(3):
+            p = jax.tree.map(lambda x: x * (1.0 + 1e-12 * (r + 1)), arg)
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(p)))
+            times.append(time.perf_counter() - t0)
+        print(f"{label:>12}: {min(times)*1e3:8.2f} ms  (batch {batch})")
+        return min(times)
+
+    full = timeit(lambda p: nu.grid_scan(p, cfg).flux, params, "full evolve")
+    tab = timeit(tables_only, params, "tables only")
+    rows = timeit(tables_and_rows, params, "tables+rows")
+    print(f"{'rows only':>12}: {(rows - tab)*1e3:8.2f} ms  (difference)")
+    print(f"{'scan only':>12}: {(full - rows)*1e3:8.2f} ms  (difference)")
+
+
+if __name__ == "__main__":
+    main()

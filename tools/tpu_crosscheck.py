@@ -7,7 +7,7 @@ emulated-f64 exponent range (float32's) silently flushes or overflows
 an intermediate: results stay finite and plausible but wrong (see
 docs/DESIGN.md "TPU numerics hardening").
 
-Usage: python tools/tpu_crosscheck.py [--nr] [--batch 4] [--pallas]
+Usage: python tools/tpu_crosscheck.py [--nr] [--batch 4] [--pallas] [--f32]
 """
 
 import argparse
@@ -28,6 +28,7 @@ out_path = sys.argv[2]
 nr = bool(int(sys.argv[3]))
 batch = int(sys.argv[4])
 use_pallas = bool(int(sys.argv[5]))
+use_f32 = bool(int(sys.argv[6]))
 
 import jax
 if platform == "cpu":
@@ -39,7 +40,8 @@ import nusiprop_tpu as nu
 from nusiprop_tpu.config import Config
 
 cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
-             non_resonant=nr, phiphi=False)
+             non_resonant=nr, phiphi=False,
+             march=("rank1_f32" if use_f32 else "auto"))
 mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
 g0 = 1e-3 if nr else 1e-2   # match bench.py (see its comment)
 params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [g0],
@@ -54,10 +56,10 @@ print("device:", jax.devices()[0])
 """ % str(ROOT / ".jax_cache")
 
 
-def run(platform, out, nr, batch, use_pallas):
+def run(platform, out, nr, batch, use_pallas, use_f32=False):
     subprocess.run(
         [sys.executable, "-c", _WORKER, platform, out, str(int(nr)),
-         str(batch), str(int(use_pallas))],
+         str(batch), str(int(use_pallas)), str(int(use_f32))],
         check=True, cwd=ROOT, timeout=3000)
 
 
@@ -66,12 +68,15 @@ def main():
     ap.add_argument("--nr", action="store_true")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="run the TPU side with march='rank1_f32' "
+                         "(CPU ground truth stays f64)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as td:
         tf = f"{td}/tpu.npy"
         cf = f"{td}/cpu.npy"
-        run("tpu", tf, args.nr, args.batch, args.pallas)
+        run("tpu", tf, args.nr, args.batch, args.pallas, args.f32)
         run("cpu", cf, args.nr, args.batch, False)
         tpu = np.load(tf)
         cpu = np.load(cf)
