@@ -151,7 +151,7 @@ def _node_affine(pref, zdr, coup, lum, flux, Wf):
 
 
 def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
-                    tblG, tblAt, rho_ext, dE_ext):
+                    tblG, tblAt, rho_ext, dE_ext, window=None):
     """Per-z-node coefficient rows for the native-f32 march, plus the
     free-streaming preconditioner scale of the final node.
 
@@ -162,7 +162,19 @@ def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     TPU's native dtype — while the kernel tables and all coefficient
     rows here are built in float64 and only then cast. Module-level so
     tools/bench_split.py can time this stage on its own.
+
+    RANGE SAFETY: on TPU every "f64" intermediate here lives in
+    double-single arithmetic whose exponent range is float32's; anything
+    below ~1.2e-38 flushes to zero SILENTLY. rho*ndfac alone sits at
+    1e-40..1e-53 (it killed regeneration before the _RSCALE pairing
+    below), and pref*d_w ~ 1e39 would overflow. Every grouping therefore
+    pairs a small factor with a large one first. ``window`` is a hook
+    applied after each grouping step — identity in production; the test
+    suite passes a float32-window flush emulator so these pairings are
+    regression-checked without TPU hardware
+    (tests/test_march.py::test_f32_rows_survive_narrow_exponent_window).
     """
+    w = window if window is not None else (lambda x: x)
     f32 = jnp.float32
     NE = cfg.N_bins_E
     Nz = gr.N_steps_z
@@ -170,41 +182,40 @@ def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     steps = jnp.arange(Nz - 1, 0, -1)
     zim = gr.z[steps - 1]
     zi = gr.z[steps]
-    ndfac_a = sources.get_nd(zim) / (1.0 + zim) ** 2
-    pref_a = (1.0 + zim) * gr.dlogz / sources.get_H(zim)
+    ndfac_a = w(sources.get_nd(zim) / (1.0 + zim) ** 2)
+    pref_a = w((1.0 + zim) * gr.dlogz / sources.get_H(zim))
 
     idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
-    G_w = tblG[idx] * ndfac_a[:, None]
-    At_w = tblAt[idx] * ndfac_a[:, None]
-    rho_w = rho_ext[idx] * ndfac_a[:, None]
+    G_w = w(tblG[idx] * ndfac_a[:, None])
+    At_w = w(tblAt[idx] * ndfac_a[:, None])
+    # carry the exact 2^100 scale through the CF grouping; it cancels
+    # only after the compensating (N0*S) factor has lifted the magnitude
+    rho_w = w(rho_ext[idx] * w(ndfac_a[:, None] * _RSCALE))
     d_w = dE_ext[idx]
-    lum_a = jax.vmap(
+    lum_a = w(jax.vmap(
         lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
-                               norm_total))(zi)
+                               norm_total))(zi))
 
     # free-streaming preconditioner (counts after each node), floored
-    src_counts = pref_a[:, None] * lum_a
-    S = jnp.cumsum(src_counts, axis=0)
+    src_counts = w(pref_a[:, None] * lum_a)
+    S = w(jnp.cumsum(src_counts, axis=0))
     N0 = jnp.max(S)
-    S = jnp.maximum(S / N0, 1e-15)
+    S = jnp.maximum(w(S / N0), 1e-15)
     S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
+    N0S = w(N0 * S)
 
-    # Groupings below respect the emulated-f64 exponent window on
-    # TPU: pref*d_w ~ 1e39 would overflow before a divide, and
-    # rho*inv_dE ~ 1e-45 would underflow before a rescale — the
-    # small/large compensating factor always binds first.
     rows = dict(
-        PG=(pref_a[:, None] * G_w) * inv_dE[None, :],
-        PAt=(pref_a[:, None] * At_w) * inv_dE[None, :],
-        CO=(At_w * inv_dE[None, :]),
-        R0=S_old / S,                                # fs carry ratio
-        S0=src_counts / (N0 * S),                    # source in phi
-        CF=rho_w * ((inv_dE[None, :] * N0) * S),     # cum weight
-        PD=pref_a[:, None] * (d_w / (N0 * S)),       # reg scale
+        PG=w(w(pref_a[:, None] * G_w) * inv_dE[None, :]),
+        PAt=w(w(pref_a[:, None] * At_w) * inv_dE[None, :]),
+        CO=w(At_w * inv_dE[None, :]),
+        R0=w(S_old / S),                             # fs carry ratio
+        S0=w(src_counts / N0S),                      # source in phi
+        CF=w(w(w(rho_w * inv_dE[None, :]) * N0S) * _INV_RSCALE),  # cum wt
+        PD=w(pref_a[:, None] * w(d_w / N0S)),        # reg scale
     )
     xs = tuple(rows[k].astype(f32)
                for k in ("PG", "PAt", "CO", "R0", "S0", "CF", "PD"))
-    return xs, (N0 * S[-1])
+    return xs, w(N0 * S[-1])
 
 
 def _rank1_f32_scan(xs, Wf, NE: int, unroll: int = 1):

@@ -90,6 +90,70 @@ def test_march_unroll_identical(base_cfg):
     assert np.array_equal(one, four)
 
 
+@pytest.mark.parametrize("mphi,g", [(1e5, 1e-2), (2.7e5, 1e-2), (5e6, 1e-6)])
+def test_f32_rows_survive_narrow_exponent_window(mphi, g):
+    """Guard against the TPU emulated-f64 exponent window (float32's).
+
+    On TPU, every f64 intermediate of the row precompute lives in
+    double-single arithmetic whose exponent range is float32's: any
+    grouping that wanders below ~1.2e-38 flushes to zero and silently
+    corrupts the rows (this killed regeneration via rho*ndfac ~ 1e-40
+    before the _RSCALE pairing). The row builder routes every grouping
+    through a ``window`` hook; passing a flush emulator reproduces the
+    TPU's range behavior at full f64 precision, so window bugs are
+    caught hardware-free. The real-TPU gate is
+    tools/tpu_crosscheck.py --f32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nusiprop_tpu.models import grids, kernels, masses, mixing, sources
+
+    F32_TINY = float(np.finfo(np.float32).tiny)   # 1.18e-38
+    F32_HUGE = float(np.finfo(np.float32).max)    # 3.40e38
+
+    def flush(x):
+        x = jnp.asarray(x)
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        a = jnp.abs(x)
+        x = jnp.where(a < F32_TINY, jnp.zeros_like(x), x)
+        return jnp.where(a > F32_HUGE, jnp.sign(x) * jnp.inf, x)
+
+    cfg = Config(N_bins_E=100, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=False, phiphi=False, march="rank1_f32")
+    p = PhysicsParams.create(mphi=mphi, g=g, mntot=MNTOT, si=2.0, norm=6.0)
+    truth = np.asarray(transport.evolve(
+        p, dataclasses.replace(cfg, march="rank1")).flux)
+
+    gr = grids.build(cfg)
+    Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+    mn = masses.mass_spectrum(p.mntot, cfg.normal_ordering)
+    kw = dict(majorana=cfg.majorana, non_resonant=False, phiphi=False)
+    tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi,
+                               Wf, **kw)
+    tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, p.g,
+                                     p.mphi, Wf, **kw)
+    rho = kernels.alpha_s_rho(gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi,
+                              Wf, majorana=cfg.majorana)
+    norm_total = p.norm / sources.flux_fs_e0(p.si, gr.zmax_eff)
+    dE_ext = gr.Emax_ext - gr.Emin_ext
+
+    # tables arrive already flushed on TPU (they are built there too)
+    xs, scale = transport._rank1_f32_rows(
+        cfg, gr, p, norm_total, flush(tblG), flush(tblAt), flush(rho),
+        dE_ext, window=flush)
+    assert all(bool(jnp.isfinite(x).all()) for x in xs)
+    phi = transport._rank1_f32_scan(xs, Wf, cfg.N_bins_E)
+    flux = (np.asarray(phi, dtype=np.float64)
+            * np.asarray(scale, dtype=np.float64)[None, :]
+            / np.asarray(gr.Emax - gr.Emin)[None, :])
+
+    m = np.abs(truth) > np.abs(truth).max() * 1e-10
+    rel = np.max(np.abs(flux - truth)[m] / np.abs(truth)[m])
+    assert rel < 1e-3, rel
+
+
 def test_rank1_f32_strong_coupling():
     cfg = Config(N_bins_E=80, lEmin=9.0, lEmax=14.0, zmax=5.0,
                  non_resonant=False, phiphi=False, source="powerlaw")
