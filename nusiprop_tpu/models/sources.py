@@ -143,6 +143,42 @@ def energy_fs(lEmin, lEmax, si, norm_total, zmax_eff):
     return gl3_segmented(f, 0.0, zmax_eff, constants.N_INTEG_Z)
 
 
+def lum_rows_extended(name, edges, zi, jdx, si, norm_total):
+    """All per-(z-node, bin) source integrals from ONE edge-ladder sweep.
+
+    The grid-coupling trick (grids.py) makes every redshifted bin edge
+    land exactly on the extended log-uniform edge ladder:
+    ``E_j (1+z[i]) = edges[j + i]``. Both built-in sources factorize over
+    it —
+
+    * dsnb:  lum_int_fd(z, E) = lum_int_fd(0, E(1+z)) / (1+z), so the
+      polylogarithm antiderivative is evaluated once per edge
+      (parameter-independent!) instead of once per (node, bin):
+      O(NE+Nz) special-function calls instead of O(NE*Nz).
+    * powerlaw:  E (E(1+z)/E0)^-si = E0 (E(1+z)/E0)^(1-si) / (1+z),
+      one pow per edge per parameter point.
+
+    ``edges``: (K,) ladder; ``zi``: (T,) node redshifts; ``jdx``: (T, NE)
+    int index of each bin's LOWER edge on the ladder (upper edge is
+    jdx+1). Returns (T, NE) bin integrals, or None when ``name`` is a
+    registered custom source (caller falls back to the per-node path).
+    The (E0-relative) groupings keep every intermediate inside the TPU
+    emulated-f64 exponent window for si <= ~4.
+    """
+    if name == "dsnb":
+        F0 = lum_int_fd(0.0, edges)
+        dF = F0[1:] - F0[:-1]
+        pref = rsn(zi) / (1.0 + zi)
+        return pref[:, None] * dF[jdx]
+    if name == "powerlaw":
+        p = (edges / constants.E0_PIVOT) ** (1.0 - si)
+        dP = p[1:] - p[:-1]
+        pref = (norm_total / 3.0) * get_SFR(zi) * (
+            constants.E0_PIVOT / (1.0 - si)) / (1.0 + zi)
+        return pref[:, None] * dP[jdx]
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Source registry (generalized sources beyond the reference's two models)
 # ---------------------------------------------------------------------------

@@ -192,9 +192,19 @@ def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     # only after the compensating (N0*S) factor has lifted the magnitude
     rho_w = w(rho_ext[idx] * w(ndfac_a[:, None] * _RSCALE))
     d_w = dE_ext[idx]
-    lum_a = w(jax.vmap(
-        lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
-                               norm_total))(zi))
+    # Source integrals over the edge ladder where the source factorizes
+    # (one antiderivative eval per extended edge instead of per
+    # (node, bin) — for dsnb the polylog sweep is parameter-independent);
+    # registered custom sources fall back to the per-node evaluation.
+    kk = jnp.arange(NE + Nz, dtype=jnp.float64)
+    edges = 10.0 ** (cfg.lEmin + (cfg.lEmax - cfg.lEmin) * kk / NE)
+    lum_a = sources.lum_rows_extended(cfg.source, edges, zi, idx + 1,
+                                      params.si, norm_total)
+    if lum_a is None:
+        lum_a = jax.vmap(
+            lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
+                                   norm_total))(zi)
+    lum_a = w(lum_a)
 
     # free-streaming preconditioner (counts after each node), floored
     src_counts = w(pref_a[:, None] * lum_a)

@@ -59,3 +59,40 @@ def test_custom_source_batches():
                            mntot=MNTOT, si=2.0, norm=6.0)
     res = nu.grid_scan(params, cfg)
     assert np.isfinite(np.asarray(res.flux_fla)).all()
+
+
+@pytest.mark.parametrize("name,si,nt", [("dsnb", 2.0, 7.3e5),
+                                        ("powerlaw", 2.5, 1.1e4)])
+def test_lum_rows_extended_matches_per_node(name, si, nt):
+    """The edge-ladder factorization (one antiderivative eval per
+    extended edge) must reproduce the per-(node, bin) evaluation. The
+    dsnb tolerance reflects mutual cancellation noise: both paths
+    subtract near-equal antiderivative values at the lowest-energy bins
+    (the reference's own subtraction at nuSIprop.hpp:659-662 carries the
+    same ~1e-7 noise)."""
+    import jax
+
+    from nusiprop_tpu.models import grids
+
+    cfg = Config(N_bins_E=100, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=False, phiphi=False, source=name)
+    gr = grids.build(cfg)
+    NE, Nz = cfg.N_bins_E, gr.N_steps_z
+    steps = jnp.arange(Nz - 1, 0, -1)
+    zi = gr.z[steps]
+    idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
+    kk = jnp.arange(NE + Nz, dtype=jnp.float64)
+    edges = 10.0 ** (cfg.lEmin + (cfg.lEmax - cfg.lEmin) * kk / NE)
+    fast = np.asarray(sources.lum_rows_extended(name, edges, zi, idx + 1,
+                                                si, nt))
+    slow = np.asarray(jax.vmap(
+        lambda zz: sources.lum(name, zz, gr.Emin, gr.Emax, si, nt))(zi))
+    m = np.abs(slow) > np.abs(slow).max() * 1e-280
+    rel = np.max(np.abs(fast - slow)[m] / np.abs(slow)[m])
+    assert rel < 5e-6, rel
+
+
+def test_lum_rows_extended_declines_custom():
+    assert sources.lum_rows_extended(
+        "flat_burst", jnp.ones(8), jnp.ones(3), jnp.zeros((3, 4), int),
+        2.0, 1.0) is None
