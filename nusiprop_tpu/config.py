@@ -61,6 +61,16 @@ class Config:
     # XLA fuse consecutive z-steps, cutting per-step launch latency on
     # the latency-bound small-batch regime. Exact same arithmetic.
     march_unroll: int = 1
+    # Kernel-table build precision for the rank1_f32 march:
+    #   "auto" — native f32 (kernels_f32: joint-series + difference-form
+    #            closed forms, prefactors factored out; the dominant
+    #            evolve cost drops ~an order of magnitude on TPU, and
+    #            the build is MORE accurate than the emulated-f64 one at
+    #            its worst entries — see kernels_f32 docstring);
+    #   "f64"  — the shared float64 builders (kernels.py);
+    #   "f32"  — force the native build (error if march isn't rank1_f32).
+    # Ignored (always f64) for the f64 marches.
+    table_dtype: str = "auto"
 
     @classmethod
     def cpp_defaults(cls, **kw) -> "Config":
@@ -84,6 +94,12 @@ class Config:
             raise ValueError(f"unknown march mode {self.march!r}")
         if self.march_unroll < 1:
             raise ValueError("march_unroll must be >= 1")
+        if self.table_dtype not in ("auto", "f64", "f32"):
+            raise ValueError(f"unknown table_dtype {self.table_dtype!r}")
+        if self.table_dtype == "f32" and self.march != "rank1_f32":
+            raise ValueError(
+                "table_dtype='f32' requires march='rank1_f32' (the f64 "
+                "marches consume float64 tables)")
         if self.N_bins_E < 2:
             raise ValueError("need at least 2 energy bins")
         if self.lEmax <= self.lEmin:

@@ -151,7 +151,7 @@ def _node_affine(pref, zdr, coup, lum, flux, Wf):
 
 
 def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
-                    tblG, tblAt, rho_ext, dE_ext, window=None):
+                    tblG, tblAt, rho_ext, dE_ext, window=None, prefs=None):
     """Per-z-node coefficient rows for the native-f32 march, plus the
     free-streaming preconditioner scale of the final node.
 
@@ -175,6 +175,11 @@ def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     (tests/test_march.py::test_f32_rows_survive_narrow_exponent_window).
     """
     w = window if window is not None else (lambda x: x)
+    # Normalized f32 tables (kernels_f32) come with f64 scalar
+    # prefactors; folding them into the per-node scalars here keeps the
+    # small-with-large pairing discipline (1.0 multiplies are exact
+    # no-ops for the f64-table path).
+    pG, pAt, prho = prefs if prefs is not None else (1.0, 1.0, 1.0)
     f32 = jnp.float32
     NE = cfg.N_bins_E
     Nz = gr.N_steps_z
@@ -184,13 +189,15 @@ def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     zi = gr.z[steps]
     ndfac_a = w(sources.get_nd(zim) / (1.0 + zim) ** 2)
     pref_a = w((1.0 + zim) * gr.dlogz / sources.get_H(zim))
+    prefG_a = w(pref_a * pG)
+    prefAt_a = w(pref_a * pAt)
 
     idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
     G_w = w(tblG[idx] * ndfac_a[:, None])
     At_w = w(tblAt[idx] * ndfac_a[:, None])
     # carry the exact 2^100 scale through the CF grouping; it cancels
     # only after the compensating (N0*S) factor has lifted the magnitude
-    rho_w = w(rho_ext[idx] * w(ndfac_a[:, None] * _RSCALE))
+    rho_w = w(rho_ext[idx] * w(ndfac_a[:, None] * (prho * _RSCALE)))
     d_w = dE_ext[idx]
     # Source integrals over the edge ladder where the source factorizes
     # (one antiderivative eval per extended edge instead of per
@@ -215,9 +222,9 @@ def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     N0S = w(N0 * S)
 
     rows = dict(
-        PG=w(w(pref_a[:, None] * G_w) * inv_dE[None, :]),
-        PAt=w(w(pref_a[:, None] * At_w) * inv_dE[None, :]),
-        CO=w(At_w * inv_dE[None, :]),
+        PG=w(w(prefG_a[:, None] * G_w) * inv_dE[None, :]),
+        PAt=w(w(prefAt_a[:, None] * At_w) * inv_dE[None, :]),
+        CO=w(w(At_w * inv_dE[None, :]) * pAt),
         R0=w(S_old / S),                             # fs carry ratio
         S0=w(src_counts / N0S),                      # source in phi
         CF=w(w(w(rho_w * inv_dE[None, :]) * N0S) * _INV_RSCALE),  # cum wt
@@ -366,11 +373,24 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
     mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
     norm_total = params.norm / sources.flux_fs_e0(params.si, gr.zmax_eff)
 
+    tbl_prefs = None
     if tables is not None:
         if march in ("rank1", "rank1_f32"):
             raise ValueError("precomputed tables require march='trisolve' "
                              "or 'loop' (rank1 uses the factorized alpha)")
         tblG, tblAt, tblA = tables
+    elif march == "rank1_f32" and cfg.table_dtype in ("auto", "f32"):
+        # Native-f32 s-channel table build (kernels_f32): the dominant
+        # cost of the headline evolve drops an order of magnitude; the
+        # normalized tables come with f64 scalar prefactors applied
+        # inside the (window-safe) f64 row groupings below.
+        from nusiprop_tpu.models import kernels_f32
+
+        tblG, tblAt, rho_ext, tbl_prefs = kernels_f32.s_channel_tables_f32(
+            gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+            majorana=cfg.majorana)
+        dE_ext = gr.Emax_ext - gr.Emin_ext
+        tblA = None
     else:
         kw = dict(
             majorana=cfg.majorana,
@@ -516,7 +536,8 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
 
     if march == "rank1_f32":
         xs, scale = _rank1_f32_rows(cfg, gr, params, norm_total,
-                                    tblG, tblAt, rho_ext, dE_ext)
+                                    tblG, tblAt, rho_ext, dE_ext,
+                                    prefs=tbl_prefs)
         phi = _rank1_f32_scan(xs, Wf, NE, unroll=cfg.march_unroll)
         # back to counts in f64 (the last node's preconditioner scale)
         flux = phi.astype(jnp.float64) * scale[None, :]

@@ -91,7 +91,8 @@ def test_march_unroll_identical(base_cfg):
 
 
 @pytest.mark.parametrize("mphi,g", [(1e5, 1e-2), (2.7e5, 1e-2), (5e6, 1e-6)])
-def test_f32_rows_survive_narrow_exponent_window(mphi, g):
+@pytest.mark.parametrize("tables", ["f64", "f32"])
+def test_f32_rows_survive_narrow_exponent_window(mphi, g, tables):
     """Guard against the TPU emulated-f64 exponent window (float32's).
 
     On TPU, every f64 intermediate of the row precompute lives in
@@ -129,20 +130,28 @@ def test_f32_rows_survive_narrow_exponent_window(mphi, g):
     gr = grids.build(cfg)
     Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
     mn = masses.mass_spectrum(p.mntot, cfg.normal_ordering)
-    kw = dict(majorana=cfg.majorana, non_resonant=False, phiphi=False)
-    tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi,
-                               Wf, **kw)
-    tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, p.g,
-                                     p.mphi, Wf, **kw)
-    rho = kernels.alpha_s_rho(gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi,
-                              Wf, majorana=cfg.majorana)
     norm_total = p.norm / sources.flux_fs_e0(p.si, gr.zmax_eff)
     dE_ext = gr.Emax_ext - gr.Emin_ext
+    if tables == "f32":
+        from nusiprop_tpu.models import kernels_f32
+
+        tblG, tblAt, rho, prefs = kernels_f32.s_channel_tables_f32(
+            gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi, Wf,
+            majorana=cfg.majorana)
+    else:
+        kw = dict(majorana=cfg.majorana, non_resonant=False, phiphi=False)
+        tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, p.g,
+                                   p.mphi, Wf, **kw)
+        tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, p.g,
+                                         p.mphi, Wf, **kw)
+        rho = kernels.alpha_s_rho(gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi,
+                                  Wf, majorana=cfg.majorana)
+        prefs = None
 
     # tables arrive already flushed on TPU (they are built there too)
     xs, scale = transport._rank1_f32_rows(
         cfg, gr, p, norm_total, flush(tblG), flush(tblAt), flush(rho),
-        dE_ext, window=flush)
+        dE_ext, window=flush, prefs=prefs)
     assert all(bool(jnp.isfinite(x).all()) for x in xs)
     phi = transport._rank1_f32_scan(xs, Wf, cfg.N_bins_E)
     flux = (np.asarray(phi, dtype=np.float64)
