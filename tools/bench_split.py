@@ -43,8 +43,17 @@ def main():
     gr = grids.build(cfg)
     Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
 
+    from nusiprop_tpu.models import kernels_f32
+
+    f32_tables = cfg.table_dtype in ("auto", "f32")
+
     def one_tables(q):
         mn = masses.mass_spectrum(q.mntot, cfg.normal_ordering)
+        if f32_tables:
+            tblG, tblAt, rho, prefs = kernels_f32.s_channel_tables_f32(
+                gr.Emin_ext, gr.Emax_ext, mn, q.g, q.mphi, Wf,
+                majorana=cfg.majorana)
+            return tblG, tblAt, rho, prefs
         kw = dict(majorana=cfg.majorana, non_resonant=False, phiphi=False)
         tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, q.g,
                                    q.mphi, Wf, **kw)
@@ -52,21 +61,21 @@ def main():
                                          q.g, q.mphi, Wf, **kw)
         rho = kernels.alpha_s_rho(gr.Emin_ext, gr.Emax_ext, mn, q.g,
                                   q.mphi, Wf, majorana=cfg.majorana)
-        return tblG, tblAt, rho
+        return tblG, tblAt, rho, None
 
     @jax.jit
     def tables_only(p):
-        out = jax.vmap(one_tables)(p)
-        return out[0] + out[1] + out[2]
+        out = jax.vmap(lambda q: one_tables(q)[:3])(p)
+        return sum(jnp.sum(t.astype(jnp.float64)) for t in out)
 
     @jax.jit
     def tables_and_rows(p):
         def one(q):
-            tblG, tblAt, rho = one_tables(q)
+            tblG, tblAt, rho, prefs = one_tables(q)
             norm_total = q.norm / sources.flux_fs_e0(q.si, gr.zmax_eff)
             xs, scale = transport._rank1_f32_rows(
                 cfg, gr, q, norm_total, tblG, tblAt, rho,
-                gr.Emax_ext - gr.Emin_ext)
+                gr.Emax_ext - gr.Emin_ext, prefs=prefs)
             return sum(jnp.sum(x) for x in xs) + jnp.sum(scale)
 
         return jax.vmap(one)(p)
