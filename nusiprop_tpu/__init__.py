@@ -20,6 +20,18 @@ import jax as _jax
 # throughput comes from batching, so this is the right default.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: TPU compiles of the evolve programs run
+# minutes (f64-emulated transcendental graphs); caching them across
+# processes makes every shape a one-time cost. Respect an explicit
+# user/caller setting.
+if _jax.config.jax_compilation_cache_dir is None:
+    import os as _os
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/nusiprop_tpu/jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from nusiprop_tpu.api import Evolver, pyprop
 from nusiprop_tpu.models.sources import register_source
 from nusiprop_tpu.config import Config, PhysicsParams

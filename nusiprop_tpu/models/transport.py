@@ -106,7 +106,16 @@ def _source_lum(cfg: Config, z_src, Emin, Emax, si, norm_total):
 
 def _resolve_march(cfg: Config) -> str:
     if cfg.march == "auto":
-        return "trisolve" if cfg.non_resonant else "rank1"
+        if cfg.non_resonant:
+            return "trisolve"
+        # On TPU the native-f32 free-streaming-preconditioned march
+        # (plus its native-f32 table build) is ~30x faster than the
+        # emulated-f64 path AND more accurate at the table build's
+        # worst entries (kernels_f32 docstring); its ~5e-6 round-off
+        # sits far inside the 1e-3 physical gate. CPU keeps true f64.
+        if jax.default_backend() == "tpu":
+            return "rank1_f32"
+        return "rank1"
     if cfg.march in ("rank1", "rank1_f32") and cfg.non_resonant:
         raise ValueError(
             f"march={cfg.march!r} is exact only for the s-channel-only "

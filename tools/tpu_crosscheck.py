@@ -7,7 +7,7 @@ emulated-f64 exponent range (float32's) silently flushes or overflows
 an intermediate: results stay finite and plausible but wrong (see
 docs/DESIGN.md "TPU numerics hardening").
 
-Usage: python tools/tpu_crosscheck.py [--nr] [--batch 4] [--pallas] [--f32]
+Usage: python tools/tpu_crosscheck.py [--nr] [--batch 4] [--pallas] [--f32] [--g G]
 """
 
 import argparse
@@ -29,6 +29,7 @@ nr = bool(int(sys.argv[3]))
 batch = int(sys.argv[4])
 use_pallas = bool(int(sys.argv[5]))
 use_f32 = bool(int(sys.argv[6]))
+g_override = float(sys.argv[7])
 
 import jax
 if platform == "cpu":
@@ -39,11 +40,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import nusiprop_tpu as nu
 from nusiprop_tpu.config import Config
 
+# march pinned explicitly: "auto" now resolves to rank1_f32 on TPU,
+# but the non-f32 mode of this tool must keep testing the f64 path
 cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
              non_resonant=nr, phiphi=False,
-             march=("rank1_f32" if use_f32 else "auto"))
+             march=("rank1_f32" if use_f32
+                    else ("auto" if nr else "rank1")))
 mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
-g0 = 1e-3 if nr else 1e-2   # match bench.py (see its comment)
+g0 = g_override if g_override > 0 else (1e-3 if nr else 1e-2)
 params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [g0],
                        mntot=mntot, si=2.0, norm=6.0)
 if use_pallas:
@@ -56,10 +60,10 @@ print("device:", jax.devices()[0])
 """ % str(ROOT / ".jax_cache")
 
 
-def run(platform, out, nr, batch, use_pallas, use_f32=False):
+def run(platform, out, nr, batch, use_pallas, use_f32=False, g=0.0):
     subprocess.run(
         [sys.executable, "-c", _WORKER, platform, out, str(int(nr)),
-         str(batch), str(int(use_pallas)), str(int(use_f32))],
+         str(batch), str(int(use_pallas)), str(int(use_f32)), str(g)],
         check=True, cwd=ROOT, timeout=3000)
 
 
@@ -71,13 +75,18 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="run the TPU side with march='rank1_f32' "
                          "(CPU ground truth stays f64)")
+    ap.add_argument("--g", type=float, default=0.0,
+                    help="override the coupling (default: the bench "
+                         "regime; use 1e-6 for the golden weak-coupling "
+                         "regime)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as td:
         tf = f"{td}/tpu.npy"
         cf = f"{td}/cpu.npy"
-        run("tpu", tf, args.nr, args.batch, args.pallas, args.f32)
-        run("cpu", cf, args.nr, args.batch, False)
+        run("tpu", tf, args.nr, args.batch, args.pallas, args.f32,
+            args.g)
+        run("cpu", cf, args.nr, args.batch, False, g=args.g)
         tpu = np.load(tf)
         cpu = np.load(cf)
 
