@@ -36,3 +36,10 @@ def test_run_highenergy():
     vals = np.array([[float(x) for x in l.split()] for l in lines])
     assert vals.shape == (100, 4)
     assert np.isfinite(vals).all() and (vals[:, 1:] > 0).all()
+
+
+def test_run_grid_scan():
+    out = _run("run_grid_scan.py", "4", "2")
+    assert "scanning 8 (g, mphi) points" in out.stdout
+    assert "us/point" in out.stdout
+    assert "deepest absorption" in out.stdout
