@@ -277,6 +277,13 @@ def _rank1_f32_scan(xs, Wf, NE: int, unroll: int = 1):
         # w . x = (w . r/d) / s  exactly under Sherman-Morrison
         a = 1.0 + (CF * PD) * (wu / s)
         b = CF * (wv / s)
+        # NOTE (negative result, measured): closing this recurrence via
+        # suffix cumulants on the MXU — cum_j = A_{j+1} sum_{m>j} b_m/A_m
+        # with A = exp(log1p(a-1) @ tril_ones), two matmuls per z-node —
+        # benched 3% SLOWER than the associative scan (1.63M vs 1.68M
+        # z-steps/s at batch 1024) and 7x noisier on the TPU crosscheck
+        # (3.5e-5 vs 5.1e-6: the exp/log round-trip), so the
+        # associative scan stays.
         a_r = jnp.flip(a, axis=0)
         b_r = jnp.flip(b, axis=0)
 
