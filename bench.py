@@ -64,8 +64,11 @@ def main():
     # scan on one chip). The tunneled TPU carries a ~28 ms fixed
     # dispatch+sync round-trip per call (measured; BENCH_NOTES.md), so
     # throughput numbers include that latency — bigger batches amortize
-    # it (device compute is ~19 us/point at batch 1024).
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # it (device compute is ~19 us/point at batch 1024). The
+    # non-resonant path is compute-bound per point (emulated-f64
+    # channel tables), so it keeps a small batch.
+    batch = int(os.environ.get(
+        "BENCH_BATCH", "8" if cfg.non_resonant else "1024"))
     mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
     # Non-resonant coupling kept at 1e-3: at g=1e-2 the lowest-mphi scan
     # points cascade-amplify the number flux to ~1e34 (CPU-f64-verified,

@@ -3,14 +3,9 @@
 The emulated-f64 table build dominates the headline evolve wallclock
 (~75-90% measured; BENCH_NOTES.md). For the s-channel (the reference's
 benchmark path, nuSIprop.hpp:779-791, 956-970, 1264-1275) the closed
-forms can run in the TPU's native float32 with full accuracy where it
-matters, because the march only consumes kernel entries through
-O(1)-ish row coefficients: a relative error eps on an entry whose
-per-step optical depth / regeneration weight is q contributes ~q*eps
-to the flux, so precision is only needed on the DOMINANT entries —
-exactly the ones far from catastrophic cancellation.
-
-Design (full derivation in docs/DESIGN.md):
+forms can run in the TPU's native float32 with full accuracy, because
+naive f32 evaluation fails only through cancellation — and every
+cancellation here has an exact reformulation:
 
 1. **Coordinates in f64, transcendentals in f32.** s-1 and 1+t (the
    distance to the resonance) and the exact bin-width difference
@@ -21,18 +16,22 @@ Design (full derivation in docs/DESIGN.md):
 2. **Difference-form arctans.** atan(x) - atan(y) evaluates as
    atan((x-y)/(1+xy)) + pi*[xy < -1] (x > y always holds here), with
    x-y supplied exactly from d: uniformly ~1e-7 relative. The separate
-   atans would cancel catastrophically for adjacent bin edges (2.3%
-   apart).
-3. **Factorized log terms.** log1p(A sp(sp-2)) - log1p(A sm(sm-2)) ==
-   log((gr^2+sp1^2)/(gr^2+sm1^2)), evaluated as log1p of the exactly-
-   factored difference near ratio 1 and as a plain log otherwise (the
-   log1p argument itself can round to -1 in f32 at ratio ~ 1e-8).
-4. **Joint small-s series.** Far below resonance the Taylor core and
-   the log term cancel to O(s*d) out of O(d) pieces, so computing them
-   separately leaves 1e-7/s relative noise in f32 — the residual is a
-   sympy-derived degree-5 joint series of (core + ga*logterm), switched
-   at s < 1e-2 (series error <~6e-7 there; mpmath-validated in f32).
-5. **Prefactors factored out.** The assembled tables for weak
+   atans cancel catastrophically for adjacent bin edges (2.3% apart).
+3. **The exact-integrand quadrature.** The combined closed forms
+   (arctan core + ga*log term) cancel to O(s*d) out of O(d) pieces far
+   from the resonance (for alphaTilde even to O(d^2)) — but their
+   DERIVATIVE collapses exactly:
+       (core_G + ga*lt_G)/(mphi*gr) = int_sm^sp 2s/((1-s)^2+gr^2) ds
+       (core_T + ga*lt_T)/(mphi*gr) = int_um^up 2(u-um)/((1-u)^2+gr^2) du
+   Both integrands are smooth and positive, so a 3-point Gauss-Legendre
+   rule evaluates them to <~2.5e-7 relative in f32 EVERYWHERE the
+   resonance (at s=1 / u=1, width gr) is farther than ~20 bin widths
+   from the interval (mpmath-validated over u in [1e-8, 100] x gr in
+   [1e-14, 2e-2]). Inside that vicinity the pieces do not cancel and
+   the difference-form closed form is accurate. This echoes the
+   reference's own "negative => Gauss-Legendre rescue" philosophy
+   (nuSIprop.hpp:799-810) with an exactly-reduced integrand.
+4. **Prefactors factored out.** The assembled tables for weak
    couplings sit below the f32 exponent window (rho ~ 1e-39 at the
    golden g = 1e-6 — which the emulated-f64 TPU build silently flushes
    too!). The builders return NORMALIZED tables with the per-table
@@ -40,8 +39,9 @@ Design (full derivation in docs/DESIGN.md):
    f64 row groupings of transport._rank1_f32_rows where the exponent
    window machinery (pairing small with large factors) already lives.
 
-Validated against the f64 build end-to-end (tests/test_march.py) and
-on real TPU by tools/tpu_crosscheck.py --f32.
+Validated against the f64 build + mpmath (tests/test_kernels_f32.py),
+end-to-end against the f64 march (tests/test_march.py), and on real
+TPU by tools/tpu_crosscheck.py --f32 [--g 1e-6].
 """
 
 import math
@@ -52,6 +52,16 @@ from nusiprop_tpu.models.kernels import scalar_width, _shift_near_minus1
 
 PI = math.pi
 F32 = jnp.float32
+
+# 3-point Gauss-Legendre on [0, 1]: nodes as interval fractions,
+# weights summing to 1.
+_GL3_C = (0.5 * (1.0 - math.sqrt(3.0 / 5.0)), 0.5,
+          0.5 * (1.0 + math.sqrt(3.0 / 5.0)))
+_GL3_W = (5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0)
+
+# closed form takes over when sqrt(vmin^2 + gr^2) <= _T_NEAR * d
+# (resonance within ~20 bin widths); GL3 error there is (1/20)^6 ~ 2e-8
+_T_NEAR = 20.0
 
 
 def _atandiff32(u, xy):
@@ -69,45 +79,35 @@ def _logratio32(d_num, m1_sq_gr, ratio):
     return jnp.where(jnp.abs(arg) < 0.5, jnp.log1p(arg), jnp.log(ratio))
 
 
-def _series_gamma(sm, d, gr2, iG):
-    """Joint degree-5 series of (core_exact + ga*lt)/(mphi*gr) for
-    Gamma, sm = s_minus, d = sp-sm, iG = 1/(1+gr^2). sympy-derived from
-    the TRUE arctan core via atan((1-s)/gr) = pi/2 - atan(gr/(1-s));
-    mpmath-validated to <~1e-7 in f32 for s <= 1e-2 (docstring item 4)."""
-    iG2 = iG * iG
-    iG3 = iG2 * iG
-    iG4 = iG2 * iG2
-    e8 = (8.0 - 8.0 * gr2) * iG4
-    e62 = (6.0 - 2.0 * gr2) * iG3
-    c5 = 0.2 * e8
-    c4 = sm * e8 + (1.5 - 0.5 * gr2) * iG3
-    c3 = sm * (sm * (2.0 * e8) + e62) + (4.0 / 3.0) * iG2
-    c2 = sm * (sm * (sm * (2.0 * e8) + (9.0 - 3.0 * gr2) * iG3)
-               + 4.0 * iG2) + iG
-    c1 = sm * (sm * (sm * (sm * e8 + e62) + 4.0 * iG2) + 2.0 * iG)
-    return d * (c1 + d * (c2 + d * (c3 + d * (c4 + d * c5))))
+def _gq_gamma(smf, sm1, d, gr2):
+    """GL3 of 2s/((1-s)^2+gr^2) over [sm, sm+d]; s-1 from the f64-cast
+    sm1 so edges near the resonance keep full precision."""
+    acc = 0.0
+    for c, w in zip(_GL3_C, _GL3_W):
+        s_i = smf + F32(c) * d
+        v_i = sm1 + F32(c) * d   # = s_i - 1
+        acc = acc + F32(w) * (2.0 * s_i) / (v_i * v_i + gr2)
+    return acc * d
 
 
-def _series_alphatilde(um, d, gr2, iG):
-    """Joint degree-5 series for alphaTilde, um = -t_minus, d = tm-tp.
-    The d^1 coefficient is EXACTLY zero — a second cancellation level
-    the separate-pieces evaluation cannot survive in f32."""
-    iG2 = iG * iG
-    iG3 = iG2 * iG
-    iG4 = iG2 * iG2
-    e8 = (8.0 - 8.0 * gr2) * iG4
-    c5 = 0.2 * e8
-    c4 = um * (6.0 - 6.0 * gr2) * iG4 + (1.5 - 0.5 * gr2) * iG3
-    c3 = um * (um * e8 + (4.0 - (4.0 / 3.0) * gr2) * iG3) + (4.0 / 3.0) * iG2
-    c2 = um * (um * (um * (4.0 - 4.0 * gr2) * iG4
-                     + (3.0 - gr2) * iG3) + 2.0 * iG2) + iG
-    return d * d * (c2 + d * (c3 + d * (c4 + d * c5)))
+def _gq_alphatilde(tm1, dt, gr2):
+    """GL3 of 2(u-um)/((1-u)^2+gr^2) over [um, um+dt]; u-um == c*dt is
+    exact, 1-u comes from the f64-cast tm1."""
+    acc = 0.0
+    for c, w in zip(_GL3_C, _GL3_W):
+        v_i = tm1 - F32(c) * dt
+        acc = acc + F32(w) * (2.0 * F32(c) * dt) / (v_i * v_i + gr2)
+    return acc * dt
 
 
-# switch to the joint series below this sp (the separate exact pieces
-# carry ~1e-7/s relative cancellation noise in f32; the series is
-# <~6e-7 up to here)
-S_SWITCH = 1e-2
+def _vicinity(m1, p1, gr2, d):
+    """True where the resonance is within ~_T_NEAR bin widths of the
+    interval whose edge-to-resonance distances are m1 and p1."""
+    crossing = m1 * p1 < 0.0
+    vmin = jnp.where(crossing, 0.0,
+                     jnp.minimum(jnp.abs(m1), jnp.abs(p1)))
+    t_d = F32(_T_NEAR) * d
+    return (vmin * vmin + gr2) <= t_d * t_d
 
 
 def s_channel_tables_f32(Emin_ext, Emax_ext, mn, g, mphi, Wf, *,
@@ -144,14 +144,12 @@ def s_channel_tables_f32(Emin_ext, Emax_ext, mn, g, mphi, Wf, *,
     sm1, sp1, tm1, tp1 = f(sm1_64), f(sp1_64), f(tm1_64), f(tp1_64)
     d, dt = f(d64), f(dt64)
     sp32, smf = f(s_p), f(s_m)
-    umf, upf = f(-tm64), f(-tp64)
     gr = f(gr64)
     inv_gr = f(1.0 / gr64)
     mphi32 = f(mphi)
     ga32 = f(ga)
     gr2 = gr * gr
     G2 = 1.0 + gr2
-    iG = 1.0 / G2
 
     # ---- shared resonance factor R = atandiff((sp-1)/gr, (sm-1)/gr) ----
     x_p = sp1 * inv_gr
@@ -167,9 +165,9 @@ def s_channel_tables_f32(Emin_ext, Emax_ext, mn, g, mphi, Wf, *,
     sm1_sq_gr = gr2 + sm1 * sm1
     ratio_G = (gr2 + sp1 * sp1) / sm1_sq_gr
     lt_G = _logratio32(d * (sp1 + sm1), sm1_sq_gr, ratio_G)
-    G_exact = 2.0 * mphi32 * R_exact + ga32 * lt_G
-    G_small = (mphi32 * gr) * _series_gamma(smf, d, gr2, iG)
-    tblG_e = jnp.where(sp32 < S_SWITCH, G_small, G_exact)
+    G_near = 2.0 * mphi32 * R_exact + ga32 * lt_G
+    G_far = (mphi32 * gr) * _gq_gamma(smf, sm1, d, gr2)
+    tblG_e = jnp.where(_vicinity(sm1, sp1, gr2, d), G_near, G_far)
 
     # ---- alphaTilde (nuSIprop.hpp:956-970) ----
     y_m = tm1 * inv_gr
@@ -180,9 +178,9 @@ def s_channel_tables_f32(Emin_ext, Emax_ext, mn, g, mphi, Wf, *,
     tm1_sq_gr = gr2 + tm1 * tm1
     ratio_t = (gr2 + tp1 * tp1) / tm1_sq_gr
     lt_t = _logratio32(-dt * (tp1 + tm1), tm1_sq_gr, ratio_t)
-    At_exact = core_t + ga32 * lt_t
-    At_small = (mphi32 * gr) * _series_alphatilde(umf, dt, gr2, iG)
-    tblAt_e = jnp.where(upf < S_SWITCH, At_small, At_exact)
+    At_near = core_t + ga32 * lt_t
+    At_far = (mphi32 * gr) * _gq_alphatilde(tm1, dt, gr2)
+    tblAt_e = jnp.where(_vicinity(tm1, tp1, gr2, dt), At_near, At_far)
 
     # ---- rho: source factor of the rank-one alpha (kernels.alpha_s_rho,
     #      nuSIprop.hpp:1264-1269) ----
