@@ -47,13 +47,15 @@ def main():
     # within 10 decades of peak at exactly this workload
     # (tools/tpu_crosscheck.py --f32; physics gate is 1e-3).
     # BENCH_F32=0 falls back to the emulated-f64 march.
-    march = "rank1_f32" if int(os.environ.get("BENCH_F32", "1")) else "auto"
+    nr = bool(int(os.environ.get("BENCH_NON_RESONANT", "0")))
+    march = ("rank1_f32" if int(os.environ.get("BENCH_F32", "1")) and not nr
+             else "auto")
     cfg = Config(
         N_bins_E=500,
         lEmin=4.0,
         lEmax=9.0,
         zmax=5.0,
-        non_resonant=bool(int(os.environ.get("BENCH_NON_RESONANT", "0"))),
+        non_resonant=nr,
         phiphi=False,
         march=march,
         march_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
