@@ -246,7 +246,8 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     return out.at[rows, cols].set(res)
 
 
-def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=None):
+def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=None,
+                scaled=False):
     """Source-side factor of the (exactly rank-one) s-channel alpha table.
 
     alpha_s (nuSIprop.hpp:1264-1269) factorizes as (tm - tp)_target x
@@ -261,6 +262,13 @@ def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=None):
     same-bin diagonal evaluation divided by the bin width — exactly how
     the reference's accumulator uses alpha_jj — which keeps the
     near-resonance shift (nuSIprop.hpp:949-954) semantics identical.
+
+    ``scaled=True`` returns rho * 2^100 (exact power of two): the raw
+    values sit at ~1e-37 and below — for weak couplings the WHOLE table
+    drops under the f32 exponent floor that TPU f64 emulation carries
+    and would flush in storage, before any consumer-side rescale can
+    act. The transport marches consume the scaled form and pair the
+    compensating 2^-100 with the (tiny) accumulation weights.
 
     Returns (N,) for (N,) bin-edge arrays.
     """
@@ -277,5 +285,7 @@ def alpha_s_rho(Em, Ep, mn, g, mphi, Wf, *, majorana, width_factor=None):
     diag = alpha_s(tm, tp, smp, spp, g, mphi, ga)
     if not majorana:
         diag = diag / 2.0
+    if scaled:
+        diag = diag * 2.0**100  # exact; lifts storage above the window
     diag = jnp.sum(Wf[:, None] / (2.0 * mn_c) * diag, axis=0)
     return diag / (Ep - Em)

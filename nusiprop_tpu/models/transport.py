@@ -418,11 +418,15 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
         if march in ("rank1", "rank1_f32"):
             # Rank-one factorization of the alpha table: no (NEXT, NEXT)
-            # materialization at all.
+            # materialization at all. Stored pre-scaled by 2^100 so the
+            # weak-coupling table (raw values down to ~1e-50) survives
+            # the TPU emulated-f64 exponent window in storage; the
+            # consumers pair the exact 2^-100 with the bin widths.
             rho_ext = kernels.alpha_s_rho(
                 gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
-                majorana=cfg.majorana,
+                majorana=cfg.majorana, scaled=True,
             )
+            tbl_prefs = (1.0, 1.0, _INV_RSCALE)
             dE_ext = gr.Emax_ext - gr.Emin_ext
             tblA = None
         else:
@@ -492,14 +496,15 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         """
         ndfac, pref, lum, Zdr, coup = node_common(flux, i)
         # RANGE SAFETY: the raw accumulation weight rho*nd/dE sits around
-        # 1e-37 — at the floor of the f32 exponent range that TPU f64
-        # emulation carries, where entries flush to zero and silently
-        # kill regeneration. Rescale by an exact power of two; every use
-        # pairs c (scaled up) with d (scaled down), so CPU f64 results
-        # are bit-identical.
+        # 1e-37 (and the raw rho TABLE itself under ~1e-38 for weak
+        # couplings) — at the floor of the f32 exponent range that TPU
+        # f64 emulation carries, where entries flush to zero and
+        # silently kill regeneration. rho_ext is therefore STORED
+        # pre-scaled by 2^100 (kernels.alpha_s_rho(scaled=True)); every
+        # use pairs c (scaled up) with d (scaled down), so CPU f64
+        # results are bit-identical.
         d_w = lax.dynamic_slice(dE_ext, (i - 1,), (NE,)) * _INV_RSCALE
-        rho_w = lax.dynamic_slice(rho_ext, (i - 1,), (NE,)) * (
-            ndfac * _RSCALE)
+        rho_w = lax.dynamic_slice(rho_ext, (i - 1,), (NE,)) * ndfac
 
         U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf)
         c_w = rho_w * inv_dE  # accumulation weight of each source bin

@@ -145,8 +145,8 @@ def test_f32_rows_survive_narrow_exponent_window(mphi, g, tables):
         tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, p.g,
                                          p.mphi, Wf, **kw)
         rho = kernels.alpha_s_rho(gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi,
-                                  Wf, majorana=cfg.majorana)
-        prefs = None
+                                  Wf, majorana=cfg.majorana, scaled=True)
+        prefs = (1.0, 1.0, transport._INV_RSCALE)
 
     # tables arrive already flushed on TPU (they are built there too)
     xs, scale = transport._rank1_f32_rows(
@@ -173,3 +173,31 @@ def test_rank1_f32_strong_coupling():
     m = np.abs(ref) > np.abs(ref).max() * 1e-10
     rel = np.max(np.abs(f32 - ref)[m] / np.abs(ref)[m])
     assert rel < 1e-4, rel
+
+
+def test_scaled_rho_survives_f32_window():
+    """The raw weak-coupling rho table sits at ~1e-39..1e-50 — entirely
+    below the f32 exponent floor that TPU f64 emulation carries, so it
+    would flush IN STORAGE before any consumer rescale. The scaled=True
+    form must keep every physically relevant entry above the floor."""
+    import jax.numpy as jnp
+
+    from nusiprop_tpu.models import grids, kernels, masses, mixing
+
+    cfg = Config(N_bins_E=100, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=False, phiphi=False)
+    gr = grids.build(cfg)
+    Wf = jnp.asarray(mixing.pmns_sq(True))[cfg.flav]
+    mn = masses.mass_spectrum(MNTOT, True)
+    raw = np.asarray(kernels.alpha_s_rho(
+        gr.Emin_ext, gr.Emax_ext, mn, 1e-6, 5e6, Wf, majorana=True))
+    sc = np.asarray(kernels.alpha_s_rho(
+        gr.Emin_ext, gr.Emax_ext, mn, 1e-6, 5e6, Wf, majorana=True,
+        scaled=True))
+    f32_tiny = float(np.finfo(np.float32).tiny)
+    assert np.abs(raw).max() < f32_tiny          # the hazard is real
+    pk = np.abs(sc).max()
+    assert pk > f32_tiny                          # and the fix lifts it
+    m = np.abs(sc) > pk * 1e-6                    # relevant entries
+    assert np.abs(sc)[m].min() > f32_tiny
+    np.testing.assert_allclose(sc, raw * 2.0**100, rtol=0)  # exact
