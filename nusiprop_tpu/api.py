@@ -181,13 +181,17 @@ class Evolver:
         return self.config.N_bins_E
 
     def check_energy_conservation(self):
-        """Relative total-energy drift vs free streaming."""
-        val = transport.check_energy_conservation(
-            self.params, self.config, pp_tables=self._pp_tables
+        """Relative total-energy drift vs free streaming.
+
+        Like the reference (nuSIprop.hpp:339-357) this evolves the flux
+        as a side effect — exactly one evolve per call.
+        """
+        val, res = transport.check_energy_conservation(
+            self.params, self.config, pp_tables=self._pp_tables,
+            return_result=True,
         )
         self.evolved = True
-        self._result = transport.evolve(self.params, self.config,
-                                        pp_tables=self._pp_tables)
+        self._result = res
         return float(val)
 
     # -- interpolated flux access (nuSIprop.pyx:120-128) ----------------------

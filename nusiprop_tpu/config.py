@@ -24,9 +24,11 @@ class Config:
     """Static run configuration (reference ctor optional args).
 
     Defaults mirror the reference *Python* wrapper defaults
-    (nuSIprop.pyx:47-52). Note the reference C++ ctor defaults differ
-    (phiphi=False there, nuSIprop.hpp:65); use ``Config.cpp_defaults()``
-    for those.
+    (nuSIprop.pyx:47-52), including ``phiphi=True``. The reference C++
+    ctor defaults differ in exactly that flag (phiphi=False,
+    nuSIprop.hpp:65); use ``Config.cpp_defaults()`` for those. Note the
+    reference pyx docstring also claims lEmin default 13 while its code
+    default is 12 (SURVEY.md §5); we follow the code.
     """
 
     majorana: bool = True
@@ -37,7 +39,7 @@ class Config:
     lEmax: float = 17.0
     zmax: float = 5.0
     flav: int = 2
-    phiphi: bool = False
+    phiphi: bool = True
     # Source model: "dsnb" is the active source of the reference fork
     # (Fermi-Dirac spectrum weighted by the core-collapse SN rate,
     # nuSIprop.hpp:659-662); "powerlaw" is the upstream SFR power-law

@@ -733,11 +733,14 @@ def evolve_general(params: PhysicsParams, Q, cfg: Config,
 
 
 def check_energy_conservation(params: PhysicsParams, cfg: Config,
-                              pp_tables=None):
+                              pp_tables=None, return_result=False):
     """(E_int - E_FS)/E_FS (nuSIprop.hpp:339-357).
 
     Faithful to the reference fork: the free-streaming energy E_FS uses
     the *power-law* source forms regardless of the active source model.
+
+    With ``return_result=True``, returns ``(drift, EvolveResult)`` so
+    callers that also want the evolved flux pay for one evolve, not two.
     """
     gr = grids.build(cfg)
     norm_total = params.norm / sources.flux_fs_e0(params.si, gr.zmax_eff)
@@ -746,4 +749,7 @@ def check_energy_conservation(params: PhysicsParams, cfg: Config,
     res = evolve(params, cfg, pp_tables=pp_tables)
     logw = jnp.log(res.Emax) - jnp.log(res.Emin)
     E_int = jnp.sum(logw[None, :] * res.E_nu[None, :] ** 2 * res.flux)
-    return (E_int - E_FS) / E_FS
+    drift = (E_int - E_FS) / E_FS
+    if return_result:
+        return drift, res
+    return drift

@@ -163,8 +163,16 @@ def sharded_grid_scan(params: PhysicsParams, cfg: Config,
     full array). Batch size must divide the mesh size.
     """
     if mesh is None:
+        import numpy as np
+
         devs = jax.devices()
-        mesh = Mesh(jnp.array(devs).reshape(len(devs)), (axis_name,))
+        mesh = Mesh(np.asarray(devs).reshape(len(devs)), (axis_name,))
+    n_dev = mesh.devices.size
+    batch = int(params.mphi.shape[0])
+    if batch % n_dev != 0:
+        raise ValueError(
+            f"batch size {batch} must divide the {n_dev}-device mesh; pad "
+            f"the grid (e.g. repeat the last point) to a multiple of {n_dev}")
     sharding = NamedSharding(mesh, P(axis_name))
     params = jax.tree.map(lambda x: jax.device_put(x, sharding), params)
 

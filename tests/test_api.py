@@ -69,6 +69,36 @@ def test_pyprop_alias():
     assert nu.pyprop is nu.Evolver
 
 
+def test_default_parity_with_reference():
+    """Config() defaults pin the reference pyx defaults (nuSIprop.pyx:47-52);
+    Config.cpp_defaults() pins the C++ ctor defaults (nuSIprop.hpp:61-68),
+    which differ in exactly one flag: phiphi."""
+    import dataclasses
+
+    cfg = nu.Config()
+    assert (cfg.majorana, cfg.non_resonant, cfg.normal_ordering) == (
+        True, True, True)
+    assert (cfg.N_bins_E, cfg.lEmin, cfg.lEmax, cfg.zmax, cfg.flav) == (
+        300, 12.0, 17.0, 5.0, 2)
+    assert cfg.phiphi is True  # nuSIprop.pyx:52
+
+    cpp = nu.Config.cpp_defaults()
+    assert cpp.phiphi is False  # nuSIprop.hpp:65
+    # ... and ONLY phiphi differs
+    assert dataclasses.replace(cpp, phiphi=True) == cfg
+
+    # the Evolver constructor signature follows the pyx defaults too
+    import inspect
+
+    sig = inspect.signature(nu.Evolver.__init__)
+    defaults = {k: v.default for k, v in sig.parameters.items()
+                if v.default is not inspect.Parameter.empty}
+    for key in ("majorana", "non_resonant", "normal_ordering", "N_bins_E",
+                "lEmin", "lEmax", "zmax", "flav", "phiphi"):
+        assert defaults[key] == getattr(cfg, key), key
+    assert defaults["norm"] == 1  # nuSIprop.pyx:49
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         nu.Config(flav=5)

@@ -1,0 +1,86 @@
+"""Mesh-sharded grid scans on the 8-virtual-device CPU mesh.
+
+conftest.py provisions ``xla_force_host_platform_device_count=8``; these
+tests exercise the actual ``jax.sharding`` paths — the default-mesh
+``sharded_grid_scan`` (the path the reference replaces with serial
+re-runs, SURVEY.md §5 comm-backend entry), explicit sub-meshes, the
+uneven-batch error, and shard placement of the result.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import nusiprop_tpu as nu
+from nusiprop_tpu.config import Config
+from nusiprop_tpu.parallel.scan import sharded_grid_scan
+
+MNTOT = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(N_bins_E=24, lEmin=4.0, lEmax=9.0, non_resonant=False,
+                  phiphi=False)
+
+
+@pytest.fixture(scope="module")
+def params16():
+    return nu.param_grid(np.geomspace(1e5, 1e8, 8), [1e-6, 1e-4],
+                         mntot=MNTOT, si=2.0, norm=6.0)  # 16 points
+
+
+def test_devices_provisioned():
+    assert len(jax.devices()) == 8, (
+        "conftest must provision 8 virtual CPU devices")
+
+
+def test_default_mesh_matches_unsharded(cfg, params16):
+    """The zero-argument path (builds its own mesh from jax.devices())
+    must agree with plain vmap batching to float64 round-off."""
+    sharded = sharded_grid_scan(params16, cfg)
+    ref = nu.grid_scan(params16, cfg)
+    np.testing.assert_allclose(np.asarray(sharded.flux_fla),
+                               np.asarray(ref.flux_fla), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.flux),
+                               np.asarray(ref.flux), rtol=1e-12)
+
+
+def test_result_is_sharded_across_devices(cfg, params16):
+    res = sharded_grid_scan(params16, cfg)
+    sh = res.flux_fla.sharding
+    assert len(sh.device_set) == 8
+    # batch axis split 16/8 = 2 points per device
+    shard_shapes = {s.data.shape for s in res.flux_fla.addressable_shards}
+    assert shard_shapes == {(2, 3, cfg.N_bins_E)}
+
+
+def test_explicit_submesh(cfg, params16):
+    devs = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devs, ("batch",))
+    res = sharded_grid_scan(params16, cfg, mesh=mesh)
+    ref = nu.grid_scan(params16, cfg)
+    np.testing.assert_allclose(np.asarray(res.flux_fla),
+                               np.asarray(ref.flux_fla), rtol=1e-12)
+    assert len(res.flux_fla.sharding.device_set) == 4
+
+
+def test_uneven_batch_raises(cfg):
+    params = nu.param_grid(np.geomspace(1e5, 1e8, 5), [1e-6],
+                           mntot=MNTOT, si=2.0, norm=6.0)  # 5 points, 8 devs
+    with pytest.raises(ValueError, match="must divide"):
+        sharded_grid_scan(params, cfg)
+
+
+def test_presharded_input_respected(cfg, params16):
+    """Inputs already placed with a NamedSharding evolve correctly (the
+    device_put inside is a no-op re-placement)."""
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("batch",))
+    sharding = NamedSharding(mesh, P("batch"))
+    placed = jax.tree.map(lambda x: jax.device_put(x, sharding), params16)
+    res = sharded_grid_scan(placed, cfg, mesh=mesh)
+    ref = nu.grid_scan(params16, cfg)
+    np.testing.assert_allclose(np.asarray(res.flux_fla),
+                               np.asarray(ref.flux_fla), rtol=1e-12)
