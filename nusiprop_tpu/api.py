@@ -201,8 +201,16 @@ class Evolver:
         fla = self.get_flux_fla()[row]
         si = float(self.params.si)
         flat = fla * E**si
-        x = np.log10(np.asarray(energy))
-        return np.interp(x, np.log10(E), flat) / np.asarray(energy) ** si
+        energy = np.asarray(energy)
+        # Parity with the reference: its scipy interp1d raises outside
+        # the bin-center range (nuSIprop.pyx:120-128 — no fill_value).
+        if np.any(energy < E[0]) or np.any(energy > E[-1]):
+            raise ValueError(
+                f"energy outside the interpolation range "
+                f"[{E[0]:.6g}, {E[-1]:.6g}] eV (the reference's "
+                f"interp1d raises here too)")
+        x = np.log10(energy)
+        return np.interp(x, np.log10(E), flat) / energy ** si
 
     def interp_flux_el(self, energy):
         """nu_e flux at arbitrary energy [eV] (log-E linear interp)."""

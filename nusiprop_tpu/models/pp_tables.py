@@ -60,6 +60,20 @@ def load_binary(alphatilde_path: str, alpha_path: str,
     return PPTables(alphatilde=at, alpha=a)
 
 
+def load_text(alphatilde_path: str, alpha_path: str,
+              alphatilde_shape=REF_ALPHATILDE_SHAPE,
+              alpha_shape=REF_ALPHA_SHAPE) -> PPTables:
+    """Load reference-format .dat text tables (the tables_phiphi.py
+    output the reference converts with text_to_binary.cpp; the reference
+    interpolator reads this format directly too, interp.hpp:173-247)."""
+    at = interp.load_text_table(alphatilde_path, alphatilde_shape,
+                                regular=True,
+                                log_axes=[True, False, False])
+    a = interp.load_text_table(alpha_path, alpha_shape, regular=True,
+                               log_axes=[True, False, False, False])
+    return PPTables(alphatilde=at, alpha=a)
+
+
 def load_npz(path: str) -> PPTables:
     """Load tables from the make_tables.py .npz container."""
     d = np.load(path)

@@ -224,6 +224,36 @@ def build_spline(nodes: Sequence[np.ndarray], values: np.ndarray,
     )
 
 
+def load_text_table(path: str, shape: Sequence[int],
+                    regular: bool = True,
+                    log_axes: Sequence[bool] = None,
+                    log_value: bool = False) -> SplineND:
+    """Load a reference-format text table (whitespace-separated rows of
+    x_0 ... x_{N-1} f, '#' comment lines skipped, last axis fastest;
+    interp.hpp:173-247) and build the interpolator.
+
+    The reference interpolator accepts both text and binary files
+    (interp.hpp:173-320); this is the text half — same row layout as
+    load_binary_table but full-precision decimal instead of float32.
+    """
+    shape = tuple(int(s) for s in shape)
+    ndim = len(shape)
+    raw = np.loadtxt(path, dtype=np.float64, comments="#")
+    raw = raw.reshape(-1, ndim + 1)
+    n_rows = int(np.prod(shape))
+    if raw.shape[0] != n_rows:
+        raise ValueError(
+            f"{path}: expected {n_rows} rows for shape {shape}, "
+            f"got {raw.shape[0]}")
+    values = raw[:, -1].reshape(shape)
+    nodes = []
+    for i in range(ndim):
+        stride = int(np.prod(shape[i + 1:]))
+        nodes.append(raw[::stride, i][:shape[i]].copy())
+    return build_spline(nodes, values, regular=regular, log_axes=log_axes,
+                        log_value=log_value)
+
+
 def load_binary_table(path: str, shape: Sequence[int],
                       regular: bool = True,
                       log_axes: Sequence[bool] = None,

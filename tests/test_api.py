@@ -65,6 +65,18 @@ def test_interp_flux_matches_bins():
     np.testing.assert_allclose(ev.interp_flux_ta(E[5:10]), fla[2, 5:10], rtol=1e-10)
 
 
+def test_interp_flux_raises_out_of_range():
+    """Reference parity: scipy interp1d with no fill_value raises outside
+    the bin-center range (nuSIprop.pyx:120-128)."""
+    ev = nu.Evolver(**GOLDEN_KW)
+    ev.evolve()
+    E = ev.get_energies()
+    with pytest.raises(ValueError, match="interpolation range"):
+        ev.interp_flux_el(E[0] * 0.5)
+    with pytest.raises(ValueError, match="interpolation range"):
+        ev.interp_flux_ta(np.array([E[3], E[-1] * 2.0]))
+
+
 def test_pyprop_alias():
     assert nu.pyprop is nu.Evolver
 

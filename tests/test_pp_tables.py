@@ -122,6 +122,42 @@ class TestPPTables:
         b = float(loaded.eval_alphatilde(*q))
         assert b == pytest.approx(a, rel=1e-5)  # float32 round trip
 
+    def test_text_format_round_trip(self, tmp_path, small_tables):
+        """The reference interpolator also reads .dat text tables
+        (interp.hpp:173-247); load_text must agree with the in-memory
+        spline to full float64 precision (no float32 packing)."""
+        d = np.load(DATA)
+
+        def write_dat(path, cols):
+            rows = np.column_stack([np.asarray(c).reshape(-1) for c in cols])
+            with open(path, "w") as f:
+                f.write("# comment line must be skipped\n")
+                for r in rows:
+                    f.write(" ".join(f"{v:.17g}" for v in r) + "\n")
+
+        at_shape = d["at_values"].shape
+        a_shape = d["a_values"].shape
+        write_dat(tmp_path / "at.dat", [
+            np.repeat(d["at_tplus"], at_shape[1]),
+            np.tile(d["at_log10d"], at_shape[0]),
+            d["at_values"]])
+        write_dat(tmp_path / "a.dat", [
+            np.repeat(d["a_splus"], a_shape[1] * a_shape[2]),
+            np.tile(np.repeat(d["a_n"], a_shape[2]), a_shape[0]),
+            np.tile(d["a_log10d"], a_shape[0] * a_shape[1]),
+            d["a_values"]])
+        loaded = pp_tables.load_text(
+            str(tmp_path / "at.dat"), str(tmp_path / "a.dat"),
+            alphatilde_shape=at_shape, alpha_shape=a_shape)
+        q = (jnp.asarray(500.0), jnp.asarray(0.02))
+        np.testing.assert_allclose(
+            float(loaded.eval_alphatilde(*q)),
+            float(small_tables.eval_alphatilde(*q)), rtol=1e-14)
+        q3 = (jnp.asarray(50.0), jnp.asarray(3.0), jnp.asarray(0.02))
+        np.testing.assert_allclose(
+            float(loaded.eval_alpha(*q3)),
+            float(small_tables.eval_alpha(*q3)), rtol=1e-14)
+
 
 class TestKernelChannels:
     """The table-backed kernel channels against direct quadrature.
