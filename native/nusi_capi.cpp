@@ -22,6 +22,10 @@ void* nusi_create(int NE, double lEmin, double lEmax, double zmax, int flav,
   return e;
 }
 
+void nusi_set_non_resonant(void* h, int enable) {
+  static_cast<nusi::Engine*>(h)->non_resonant = enable != 0;
+}
+
 void nusi_set_params(void* h, double mphi, double g, double mntot, double si,
                      double norm) {
   auto* e = static_cast<nusi::Engine*>(h);

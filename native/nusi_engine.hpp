@@ -22,6 +22,8 @@
 #include <complex>
 #include <vector>
 
+#include "nusi_nr.hpp"
+
 namespace nusi {
 
 constexpr double PI = 3.141592653589793;
@@ -155,6 +157,7 @@ struct Engine {
   bool majorana = true;
   bool normal_ordering = true;
   bool source_dsnb = true;  // true: fork's DSNB source; false: power-law
+  bool non_resonant = false;  // add t/u/tu/st/su channels (phiphi excluded)
 
   // grids
   int NZ = 0, NEXT = 0;
@@ -265,6 +268,7 @@ struct Engine {
         core = 2 * mphi * atandiff(mphi * (sp - 1) / Ga, mphi * (sm - 1) / Ga);
       }
       double G = (g * g) / (32.0 * PI * Ga) * (g * g) * (core + Ga * logterm);
+      if (non_resonant) G += nr::gamma_nr(sm, sp, g, gr, majorana);
       tot += Wsq[flav][j] / (2 * mn[j]) * G;
     }
     return tot;
@@ -294,6 +298,7 @@ struct Engine {
       }
       double A = (g * g) / (16.0 * PI * Ga) * (g * g) * (core + Ga * logterm);
       if (!majorana) A /= 2.0;
+      if (non_resonant) A += nr::alphatilde_nr(tm, tp, g, gr, majorana);
       tot += Wsq[flav][k] / (2 * mn[k]) * A;
     }
     return tot;
@@ -305,6 +310,8 @@ struct Engine {
     for (int k = 0; k < 3; ++k) {
       double tp = -2 * mn[k] * Ep / (mphi * mphi);
       double tm = -2 * mn[k] * Em / (mphi * mphi);
+      if (std::fabs(tm + 1) < 1e-7) tm += tm * 1e-6;
+      if (std::fabs(tp + 1) < 1e-7) tp += tp * 1e-6;
       double spp = 2 * mn[k] * Epp / (mphi * mphi);
       double smp = 2 * mn[k] * Emp / (mphi * mphi);
       double gr = Ga / mphi;
@@ -318,6 +325,7 @@ struct Engine {
       }
       double A = (g * g) / (8.0 * PI * Ga) * (g * g) * mphi * (tm - tp) * core;
       if (!majorana) A /= 2.0;
+      if (non_resonant) A += nr::alpha_nr(tm, tp, smp, spp, g, gr, majorana);
       tot += Wsq[flav][k] / (2 * mn[k]) * A;
     }
     return tot;
@@ -402,14 +410,30 @@ struct Engine {
         double Gj = tblG[j + i - 2] * ndfac;
         double Atj = tblAt[j + i - 2] * ndfac;
 
-        if (j != NE) {
-          double a = tblA[(j + i - 2) * NEXT + (j + i - 1)] * ndfac /
-                     (dE[j] * dE[jm]);
-          for (int l = 0; l < 3; ++l) alpha_cum[l] += flux[l * NE + j] * a;
+        double regW;
+        if (non_resonant) {
+          // general kernel: full regeneration sum over source bins
+          // (nuSIprop.hpp:285-291) — no rank-one shortcut
+          regW = 0;
+          const double* row = &tblA[(j + i - 2) * NEXT];
+          for (int m = j + 1; m <= NE; ++m) {
+            int mi = m - 1;
+            double wf = 0;
+            for (int l = 0; l < 3; ++l)
+              wf += Wsq[flav][l] * flux[l * NE + mi];
+            regW += wf * row[mi + i - 1] / dE[mi];
+          }
+          regW *= ndfac;
+        } else {
+          if (j != NE) {
+            double a = tblA[(j + i - 2) * NEXT + (j + i - 1)] * ndfac /
+                       (dE[j] * dE[jm]);
+            for (int l = 0; l < 3; ++l) alpha_cum[l] += flux[l * NE + j] * a;
+          }
+          regW = 0;
+          for (int l = 0; l < 3; ++l) regW += Wsq[flav][l] * alpha_cum[l];
+          regW *= dE[jm];
         }
-        double regW = 0;
-        for (int l = 0; l < 3; ++l) regW += Wsq[flav][l] * alpha_cum[l];
-        regW *= dE[jm];
 
         double lum = Lum(zi, jm, norm_total);
         double Zdr[3], rhs[3];

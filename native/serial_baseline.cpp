@@ -16,7 +16,11 @@
 //
 // Build:  make serial_baseline   (or g++ -O3 -march=native -std=c++17
 //         -o serial_baseline serial_baseline.cpp)
-// Run:    ./serial_baseline <N_bins> <lEmin> <lEmax> <zmax> <reps> [--dump]
+// Run:    ./serial_baseline <N_bins> <lEmin> <lEmax> <zmax> <reps>
+//                           [--dump] [--non-resonant]
+// --non-resonant switches to the reference's default channel set
+// (t/u/tu/st/su added, phiphi off; full O(NE^2)-per-step regeneration
+// sum, nuSIprop.hpp:285-291) at the test.cpp-style parameter point.
 
 #include <chrono>
 #include <cstdio>
@@ -32,12 +36,24 @@ int main(int argc, char** argv) {
   e.lEmax = argc > 3 ? std::atof(argv[3]) : 9.0;
   e.zmax = argc > 4 ? std::atof(argv[4]) : 5.0;
   int reps = argc > 5 ? std::atoi(argv[5]) : 3;
-  bool dump = argc > 6 && std::strcmp(argv[6], "--dump") == 0;
+  bool dump = false, nr = false;
+  for (int a = 6; a < argc; ++a) {
+    if (std::strcmp(argv[a], "--dump") == 0) dump = true;
+    if (std::strcmp(argv[a], "--non-resonant") == 0) nr = true;
+  }
 
   e.mphi = 5e6; e.g = 1e-6;
   e.mntot = std::sqrt(nusi::DMQ21) + std::sqrt(nusi::DMQ31_NO);
   e.si = 2.0; e.norm = 6.0;
   e.source_dsnb = false;  // power-law: the upstream benchmark source
+  if (nr) {
+    e.non_resonant = true;
+    // the non-resonant bench point (bench.py BENCH_NON_RESONANT=1:
+    // dsnb source, g = 1e-3, mphi from the scan — cost is
+    // parameter-independent, one representative point suffices)
+    e.g = 1e-3; e.mphi = 1e6; e.si = 2.0; e.norm = 6.0;
+    e.source_dsnb = true;
+  }
   e.setup_grids();
 
   double best = 1e300;
@@ -57,7 +73,7 @@ int main(int argc, char** argv) {
   }
   std::printf(
       "{\"n_bins\": %d, \"n_steps_z\": %d, \"wall_sec_per_evolve\": %.6f, "
-      "\"zsteps_per_sec\": %.3f}\n",
-      e.NE, e.NZ, best, (e.NZ - 1) / best);
+      "\"zsteps_per_sec\": %.3f, \"non_resonant\": %s}\n",
+      e.NE, e.NZ, best, (e.NZ - 1) / best, nr ? "true" : "false");
   return 0;
 }

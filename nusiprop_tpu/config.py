@@ -63,15 +63,18 @@ class Config:
     # XLA fuse consecutive z-steps, cutting per-step launch latency on
     # the latency-bound small-batch regime. Exact same arithmetic.
     march_unroll: int = 1
-    # Kernel-table build precision for the rank1_f32 march:
-    #   "auto" — native f32 (kernels_f32: joint-series + difference-form
-    #            closed forms, prefactors factored out; the dominant
-    #            evolve cost drops ~an order of magnitude on TPU, and
-    #            the build is MORE accurate than the emulated-f64 one at
-    #            its worst entries — see kernels_f32 docstring);
-    #   "f64"  — the shared float64 builders (kernels.py);
-    #   "f32"  — force the native build (error if march isn't rank1_f32).
-    # Ignored (always f64) for the f64 marches.
+    # Kernel-table build precision:
+    #   "auto" — native f32 on TPU (CPU keeps true f64): for the
+    #            rank1_f32 march the s-channel closed forms run in f32
+    #            (kernels_f32); for non-resonant trisolve configs the
+    #            dominant (NEXT^2/2)-pair alpha table is built by f32
+    #            matrix-element-level quadrature (kernels_nr_f32) —
+    #            both are MORE accurate than the emulated-f64 closed
+    #            forms at their cancellation-dominated entries (see the
+    #            module docstrings and docs/DESIGN.md);
+    #   "f64"  — the shared float64 builders (kernels.py/kernels_nr.py);
+    #   "f32"  — force the native f32 build on any backend (requires
+    #            march='rank1_f32', or a non-resonant trisolve config).
     table_dtype: str = "auto"
 
     @classmethod
@@ -98,10 +101,13 @@ class Config:
             raise ValueError("march_unroll must be >= 1")
         if self.table_dtype not in ("auto", "f64", "f32"):
             raise ValueError(f"unknown table_dtype {self.table_dtype!r}")
-        if self.table_dtype == "f32" and self.march != "rank1_f32":
+        if (self.table_dtype == "f32" and self.march != "rank1_f32"
+                and not (self.non_resonant
+                         and self.march in ("auto", "trisolve"))):
             raise ValueError(
-                "table_dtype='f32' requires march='rank1_f32' (the f64 "
-                "marches consume float64 tables)")
+                "table_dtype='f32' requires march='rank1_f32' (s-channel "
+                "configs) or a non-resonant trisolve/auto config (the f32 "
+                "alpha-table build)")
         if self.N_bins_E < 2:
             raise ValueError("need at least 2 energy bins")
         if self.lEmax <= self.lEmin:

@@ -313,6 +313,51 @@ def _channels(cfg: Config):
     return tuple(ch)
 
 
+def _use_f32_alpha(cfg: Config) -> bool:
+    """Whether the non-resonant alpha table uses the native-f32
+    quadrature build (kernels_nr_f32) instead of the f64 closed forms.
+
+    Enabled for non-resonant trisolve configs on TPU (table_dtype
+    "auto") or anywhere when forced with table_dtype="f32". Besides
+    being ~the whole non-resonant speedup on TPU, the quadrature build
+    is MORE accurate than the closed forms at sub-resonance pairs,
+    where the f64 antiderivative differences cancel to pure round-off
+    noise up to ~1e9x the true value (positive noise evades the
+    reference's negative-only rescue; see kernels_nr_f32 docstring and
+    tests/test_kernels_nr_f32.py's scipy referee).
+    """
+    if not cfg.non_resonant or cfg.table_dtype == "f64":
+        return False
+    if _resolve_march(cfg) != "trisolve":
+        return False
+    if cfg.table_dtype == "f32":
+        return True
+    # auto: the GL3 quadrature error scales as (bin width)^6 — require
+    # production-resolution bins (<= 0.05 decades ~ 12%: worst-entry
+    # error ~3e-6; at the bench's 0.01 decades it is ~1e-10). Coarser
+    # grids keep the f64 closed forms.
+    if (cfg.lEmax - cfg.lEmin) / cfg.N_bins_E > 0.05:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@lru_cache(maxsize=None)
+def _alpha_f32_builder_jit(cfg: Config, batched: bool):
+    from nusiprop_tpu.models import kernels_nr_f32
+
+    def build(params):
+        gr = grids.build(cfg)
+        Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+        mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+        return kernels_nr_f32.alpha_table_f32(
+            gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+            majorana=cfg.majorana)
+
+    if batched:
+        build = jax.vmap(build)
+    return jax.jit(build)
+
+
 @lru_cache(maxsize=None)
 def _channel_builder_jit(cfg: Config, table: str, channel: str,
                          batched: bool, per_state: bool = False):
@@ -360,8 +405,19 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
     """
     args = ((jnp.asarray(width_factor, dtype=jnp.float64),) if per_state
             else ())
+    use_f32_alpha = not per_state and _use_f32_alpha(cfg)
     out = []
     for table in ("gamma", "alphatilde", "alpha"):
+        if table == "alpha" and use_f32_alpha:
+            # native-f32 quadrature build covers s+t_u+tu+st in one
+            # cheap program; only the spline-backed pp channel stays f64
+            acc = _alpha_f32_builder_jit(cfg, batched)(params)
+            if cfg.phiphi:
+                acc = acc + _channel_builder_jit(
+                    cfg, table, "pp", batched, per_state)(
+                        params, pp_tables, *args)
+            out.append(acc)
+            continue
         acc = None
         for ch in _channels(cfg):
             t = _channel_builder_jit(cfg, table, ch, batched, per_state)(
@@ -416,7 +472,17 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         )
         tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
         tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf, **kw)
-        if march in ("rank1", "rank1_f32"):
+        if march == "trisolve" and _use_f32_alpha(cfg):
+            from nusiprop_tpu.models import kernels_nr_f32
+
+            tblA = kernels_nr_f32.alpha_table_f32(
+                gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+                majorana=cfg.majorana)
+            if cfg.phiphi:
+                tblA = tblA + kernels.alpha_table(
+                    gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi,
+                    Wf, channel="pp", **kw)
+        elif march in ("rank1", "rank1_f32"):
             # Rank-one factorization of the alpha table: no (NEXT, NEXT)
             # materialization at all. Stored pre-scaled by 2^100 so the
             # weak-coupling table (raw values down to ~1e-50) survives

@@ -44,13 +44,24 @@ def main():
          str(args.zmax), str(args.reps)],
         check=True, capture_output=True, text=True).stdout
     res = json.loads(out)
+    # the reference's DEFAULT channel set (non_resonant=true,
+    # nuSIprop.hpp:63-65): full t/u/tu/st/su tables + O(NE^2)-per-step
+    # regeneration march; far fewer reps — each evolve is seconds
+    out_nr = subprocess.run(
+        [str(BIN), str(args.bins), str(args.lEmin), str(args.lEmax),
+         str(args.zmax), str(max(2, args.reps // 2)), "--non-resonant"],
+        check=True, capture_output=True, text=True).stdout
+    res_nr = json.loads(out_nr)
 
     payload = {
         "description": (
             "Serial C++ re-implementation of the reference algorithm "
-            "(s-channel kernels + alpha_cum fast path, power-law source), "
+            "(s-channel kernels + alpha_cum fast path, power-law source; "
+            "the _nonresonant numbers add the t/u/tu/st/su channels and "
+            "the full O(NE^2)-per-step regeneration sum, dsnb source), "
             "-O3 -march=native, single thread. Cross-validated against "
-            "the JAX engine to ~1e-15 per bin."),
+            "the JAX engine to ~1e-14 per bin "
+            "(tests/test_serial_baseline.py)."),
         "config": {
             "N_bins_E": args.bins, "lEmin": args.lEmin,
             "lEmax": args.lEmax, "zmax": args.zmax,
@@ -59,6 +70,10 @@ def main():
         "n_steps_z": res["n_steps_z"],
         "serial_cpp_wall_sec_per_evolve": res["wall_sec_per_evolve"],
         "serial_cpp_zsteps_per_sec_500bins": res["zsteps_per_sec"],
+        "serial_cpp_wall_sec_per_evolve_nonresonant":
+            res_nr["wall_sec_per_evolve"],
+        "serial_cpp_zsteps_per_sec_500bins_nonresonant":
+            res_nr["zsteps_per_sec"],
         "host": platform.platform(),
     }
     out_path = ROOT / "BASELINE_MEASURED.json"
