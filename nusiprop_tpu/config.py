@@ -55,7 +55,12 @@ class Config:
     #                solution and run in NATIVE float32 (no f64
     #                emulation on TPU); ~1e-5 round-off vs rank1;
     #   "trisolve" — the sweep as one scalar triangular solve (general
-    #                kernels);
+    #                kernels, f64);
+    #   "trisolve_f32" — trisolve preconditioned by the free-streaming
+    #                solution and run in NATIVE f32 against the
+    #                normalized f32 alpha table (non-resonant configs;
+    #                the TPU default there — the f64-emulated per-step
+    #                matrix work cannot use the MXU);
     #   "loop"     — literal descending-bin lax.scan (reference-shaped;
     #                kept as the cross-validation oracle).
     march: str = "auto"
@@ -95,8 +100,12 @@ class Config:
                 f"{_sources.source_names()} (add your own with "
                 "sources.register_source)")
         if self.march not in ("auto", "rank1", "rank1_f32", "trisolve",
-                              "loop"):
+                              "trisolve_f32", "loop"):
             raise ValueError(f"unknown march mode {self.march!r}")
+        if self.march == "trisolve_f32" and not self.non_resonant:
+            raise ValueError(
+                "march='trisolve_f32' is the non-resonant f32 march; "
+                "s-channel-only configs use march='rank1_f32'")
         if self.march_unroll < 1:
             raise ValueError("march_unroll must be >= 1")
         if self.table_dtype not in ("auto", "f64", "f32"):

@@ -166,10 +166,16 @@ def _x_res_integral(hs, vm, vp, vsum, ds, gr, inv_gr, near):
     return jnp.where(near, moment, far)
 
 
-def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool):
+def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
+                    raw: bool = False):
     """Non-resonant alpha table (s + t/u + tu + st/su channels) in
-    native float32, returned as the float64 (N, N) strict-upper table
-    the trisolve march consumes.
+    native float32.
+
+    Default: returned as the float64 (N, N) strict-upper table the f64
+    trisolve march consumes (prefactor applied). ``raw=True`` returns
+    ``(table32, pref)`` — the NORMALIZED float32 table plus its float64
+    g^4 prefactor — for the native-f32 trisolve march, which folds the
+    prefactor into its range-safe per-node row scales.
 
     Matches kernels.alpha_table(..., non_resonant=True, phiphi=False)
     to f32 round-off; the phi-phi channel is added separately by the
@@ -215,9 +221,8 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool):
 
     dirac_half = 1.0 if majorana else 0.5
 
-    # ---- node grids ----
+    # ---- node grids (separable st factor) ----
     ys = [tp_ + F32(c) * dt for c in _GL3_C]             # y (t) nodes
-    xs = [smp + F32(c) * ds for c in _GL3_C]             # x (s) nodes
 
     # Is the x-resonance within _T_NEAR source-bin widths of this pair?
     crossing = vm * vp < 0.0
@@ -362,11 +367,14 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool):
 
     tot = nr_sum + ch_s
 
-    # ---- eigenstate reduction and f64 assembly ----
+    # ---- eigenstate reduction and assembly ----
     w_e = f(Wf[:, None] / (2.0 * mn_c))
     res32 = jnp.sum(w_e * tot, axis=0)  # (NT,) f32, normalized by g^4
     g64 = jnp.asarray(g, jnp.float64)
     pref = (g64 * g64) * (g64 * g64)
+    if raw:
+        out32 = jnp.zeros((N, N), dtype=F32)
+        return out32.at[rows, cols].set(res32), pref
     res = res32.astype(jnp.float64) * pref
     out = jnp.zeros((N, N), dtype=jnp.float64)
     return out.at[rows, cols].set(res)

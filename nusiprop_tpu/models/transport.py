@@ -107,6 +107,15 @@ def _source_lum(cfg: Config, z_src, Emin, Emax, si, norm_total):
 def _resolve_march(cfg: Config) -> str:
     if cfg.march == "auto":
         if cfg.non_resonant:
+            # On TPU: native-f32 trisolve against the f32 quadrature
+            # alpha table (both faster AND, at the table level, more
+            # accurate than the emulated-f64 closed forms — see
+            # kernels_nr_f32). Requires production-resolution bins
+            # (the table build's GL error scales as bin-width^6).
+            if (jax.default_backend() == "tpu"
+                    and cfg.table_dtype != "f64"
+                    and (cfg.lEmax - cfg.lEmin) / cfg.N_bins_E <= 0.05):
+                return "trisolve_f32"
             return "trisolve"
         # On TPU the native-f32 free-streaming-preconditioned march
         # (plus its native-f32 table build) is ~30x faster than the
@@ -303,6 +312,111 @@ def _rank1_f32_scan(xs, Wf, NE: int, unroll: int = 1):
     return phi
 
 
+def _trisolve_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
+                       tblG, tblAt, pref_A, window=None):
+    """Per-z-node coefficient rows for the native-f32 GENERAL-KERNEL
+    march (march='trisolve_f32'), plus the preconditioner scale.
+
+    Same free-streaming preconditioning and window discipline as
+    _rank1_f32_rows (see its docstring); instead of the rank-one CF/PD
+    pair it emits, per node,
+      CS[m] = pref_A * ndfac / dE_m * N0*S[m]   (source-column scale)
+      PT[j] = pref_z / (N0*S[j])                (target-row scale)
+    so the in-scan triangular system is
+      T = I - diag(PT * wu/s) (A32win * CS),   A32win the f32 window of
+    the NORMALIZED alpha table (kernels_nr_f32 raw=True; pref_A = g^4).
+    """
+    w = window if window is not None else (lambda x: x)
+    f32 = jnp.float32
+    NE = cfg.N_bins_E
+    Nz = gr.N_steps_z
+    inv_dE = 1.0 / (gr.Emax - gr.Emin)
+    steps = jnp.arange(Nz - 1, 0, -1)
+    zim = gr.z[steps - 1]
+    zi = gr.z[steps]
+    ndfac_a = w(sources.get_nd(zim) / (1.0 + zim) ** 2)
+    pref_a = w((1.0 + zim) * gr.dlogz / sources.get_H(zim))
+
+    idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
+    G_w = w(tblG[idx] * ndfac_a[:, None])
+    At_w = w(tblAt[idx] * ndfac_a[:, None])
+
+    lum_a = sources.lum_rows_extended(
+        cfg.source,
+        10.0 ** (cfg.lEmin + (cfg.lEmax - cfg.lEmin)
+                 * jnp.arange(NE + Nz, dtype=jnp.float64) / NE),
+        zi, idx + 1, params.si, norm_total)
+    if lum_a is None:
+        lum_a = jax.vmap(
+            lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
+                                   norm_total))(zi)
+    lum_a = w(lum_a)
+
+    src_counts = w(pref_a[:, None] * lum_a)
+    S = w(jnp.cumsum(src_counts, axis=0))
+    N0 = jnp.max(S)
+    S = jnp.maximum(w(S / N0), 1e-15)
+    S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
+    N0S = w(N0 * S)
+
+    # RANGE SAFETY groupings: pref_A (g^4, down to ~1e-24) pairs with
+    # N0S (large) BEFORE meeting ndfac/dE (small); pref_a (~1e31) meets
+    # 1/N0S (small) directly.
+    nd_dE = w(ndfac_a[:, None] * inv_dE[None, :])
+    rows = dict(
+        PG=w(w(pref_a[:, None] * G_w) * inv_dE[None, :]),
+        PAt=w(w(pref_a[:, None] * At_w) * inv_dE[None, :]),
+        CO=w(At_w * inv_dE[None, :]),
+        R0=w(S_old / S),
+        S0=w(src_counts / N0S),
+        CS=w(w(pref_A * N0S) * nd_dE),
+        PT=w(pref_a[:, None] / N0S),
+    )
+    xs = tuple(rows[k].astype(f32)
+               for k in ("PG", "PAt", "CO", "R0", "S0", "CS", "PT"))
+    return xs + (steps,), w(N0 * S[-1])
+
+
+def _trisolve_f32_scan(xs, A32ext, Wf, NE: int, unroll: int = 1):
+    """Native-f32 general-kernel march: per z-node one f32 triangular
+    solve against the windowed normalized alpha table (native f32
+    matmul/substitution — the f64-emulated march cannot use the MXU and
+    is ~30x slower per step). Returns preconditioned flux phi (3, NE)."""
+    f32 = jnp.float32
+    Wf32 = Wf.astype(f32)
+    Wf232 = Wf32 * Wf32
+    eyeNE = jnp.eye(NE, dtype=f32)
+
+    def step(phi, xs_i):
+        PG, PAt, CO, R0, S0, CS, PT, i = xs_i
+        zdr_t = 1.0 + (PG[:, None] * Wf32[None, :]
+                       - PAt[:, None] * Wf232[None, :])
+        d = zdr_t - CO[:, None] * Wf232[None, :]
+        w_d = Wf32[None, :] / d
+        wu = jnp.sum(Wf32[None, :] * w_d, axis=1)
+        s = 1.0 + CO * wu
+        rv = phi.T * R0[:, None] + S0[:, None]
+        rv_d = rv / d
+        wv = jnp.sum(Wf32[None, :] * rv_d, axis=1)
+        V = rv_d - (CO * wv / s)[:, None] * w_d
+        U = w_d / s[:, None]
+        qv = wv / s                       # Wf . V under Sherman-Morrison
+
+        Awin = lax.dynamic_slice(A32ext, (i - 1, i - 1), (NE, NE))
+        Khat = Awin * CS[None, :]
+        pu = PT * (wu / s)                # Wf . U, target-scaled
+        T = eyeNE - pu[:, None] * Khat
+        y = jax.scipy.linalg.solve_triangular(
+            T, qv[:, None], lower=False, unit_diagonal=True)[:, 0]
+        reg = PT * (Khat @ y)
+        x = V + reg[:, None] * U
+        return x.T, None
+
+    phi0 = jnp.zeros((3, NE), dtype=f32)
+    phi, _ = lax.scan(step, phi0, xs, unroll=unroll)
+    return phi
+
+
 def _channels(cfg: Config):
     """Channel decomposition used by the staged table builder."""
     if not cfg.non_resonant:
@@ -342,7 +456,7 @@ def _use_f32_alpha(cfg: Config) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _alpha_f32_builder_jit(cfg: Config, batched: bool):
+def _alpha_f32_builder_jit(cfg: Config, batched: bool, raw: bool = False):
     from nusiprop_tpu.models import kernels_nr_f32
 
     def build(params):
@@ -351,7 +465,7 @@ def _alpha_f32_builder_jit(cfg: Config, batched: bool):
         mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
         return kernels_nr_f32.alpha_table_f32(
             gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
-            majorana=cfg.majorana)
+            majorana=cfg.majorana, raw=raw)
 
     if batched:
         build = jax.vmap(build)
@@ -406,8 +520,20 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
     args = ((jnp.asarray(width_factor, dtype=jnp.float64),) if per_state
             else ())
     use_f32_alpha = not per_state and _use_f32_alpha(cfg)
+    use_f32_march = not per_state and _resolve_march(cfg) == "trisolve_f32"
     out = []
     for table in ("gamma", "alphatilde", "alpha"):
+        if table == "alpha" and use_f32_march:
+            # native-f32 march consumes the NORMALIZED f32 table + pref
+            a32, pref = _alpha_f32_builder_jit(cfg, batched, True)(params)
+            if cfg.phiphi:
+                pp = _channel_builder_jit(
+                    cfg, table, "pp", batched, per_state)(
+                        params, pp_tables, *args)
+                a32 = a32 + (pp / jnp.reshape(
+                    pref, jnp.shape(pref) + (1, 1))).astype(jnp.float32)
+            out.append((a32, pref))
+            continue
         if table == "alpha" and use_f32_alpha:
             # native-f32 quadrature build covers s+t_u+tu+st in one
             # cheap program; only the spline-backed pp channel stays f64
@@ -446,11 +572,33 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
     norm_total = params.norm / sources.flux_fs_e0(params.si, gr.zmax_eff)
 
     tbl_prefs = None
+    A32ext = pref_A = None
     if tables is not None:
         if march in ("rank1", "rank1_f32"):
             raise ValueError("precomputed tables require march='trisolve' "
                              "or 'loop' (rank1 uses the factorized alpha)")
-        tblG, tblAt, tblA = tables
+        if march == "trisolve_f32":
+            tblG, tblAt, (A32ext, pref_A) = tables
+            tblA = None
+        else:
+            tblG, tblAt, tblA = tables
+    elif march == "trisolve_f32":
+        from nusiprop_tpu.models import kernels_nr_f32
+
+        kw = dict(majorana=cfg.majorana, non_resonant=cfg.non_resonant,
+                  phiphi=cfg.phiphi, pp_tables=pp_tables)
+        tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, params.g,
+                                   params.mphi, Wf, **kw)
+        tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn,
+                                         params.g, params.mphi, Wf, **kw)
+        A32ext, pref_A = kernels_nr_f32.alpha_table_f32(
+            gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+            majorana=cfg.majorana, raw=True)
+        if cfg.phiphi:  # fold the f64 pp channel into the normalized table
+            pp = kernels.alpha_table(gr.Emin_ext, gr.Emax_ext, mn, params.g,
+                                     params.mphi, Wf, channel="pp", **kw)
+            A32ext = A32ext + (pp / pref_A).astype(jnp.float32)
+        tblA = None
     elif march == "rank1_f32" and cfg.table_dtype in ("auto", "f32"):
         # Native-f32 s-channel table build (kernels_f32): the dominant
         # cost of the headline evolve drops an order of magnitude; the
@@ -507,31 +655,34 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
     offd_mask = 1.0 - eye3
     WfWf = jnp.outer(Wf, Wf)
 
-    def node_common(flux, i):
-        """Per-z-node quantities shared by all march implementations."""
+    def node_common(flux, i, lum):
+        """Per-z-node quantities shared by all march implementations.
+
+        ``lum`` (the per-bin source integral at this node) is precomputed
+        for ALL nodes before the scan: inside the scan it would evaluate
+        the source's polylogarithm chains as 78 sequential latency-bound
+        emulated-f64 programs; outside it is one vectorized (Nz, NE) call.
+        """
         zim = z[i - 1]
-        zi = z[i]
-        H = sources.get_H(zim)
         ndfac = sources.get_nd(zim) / (1.0 + zim) ** 2
-        pref = (1.0 + zim) * dlogz / H
+        pref = (1.0 + zim) * dlogz / sources.get_H(zim)
 
         # Window of the extended tables active at this z-node: entry j-1
         # of the window equals extended entry j+i-2 (nuSIprop.hpp:268-272).
         G_i = lax.dynamic_slice(tblG, (i - 1,), (NE,)) * ndfac
         At_i = lax.dynamic_slice(tblAt, (i - 1,), (NE,)) * ndfac
 
-        lum = _source_lum(cfg, zi, gr.Emin, gr.Emax, params.si, norm_total)
-
         # Zdr[k, j] (nuSIprop.hpp:294)
         Zdr = 1.0 + pref * (
             G_i[None, :] * Wf[:, None] - At_i[None, :] * Wf2[:, None]
         ) * inv_dE[None, :]
         coup = At_i * inv_dE  # same-bin eigenstate coupling (NE,)
-        return ndfac, pref, lum, Zdr, coup
+        return ndfac, pref, Zdr, coup
 
-    def z_step_loop(flux, i):
+    def z_step_loop(flux, xs_i):
         """Reference-shaped descending-bin scan (cross-validation oracle)."""
-        ndfac, pref, lum, Zdr, coup = node_common(flux, i)
+        i, lum = xs_i
+        ndfac, pref, Zdr, coup = node_common(flux, i, lum)
         A_i = lax.dynamic_slice(tblA, (i - 1, i - 1), (NE, NE)) * ndfac
 
         def j_step(flx, j):
@@ -549,7 +700,7 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         flux, _ = lax.scan(j_step, flux, jnp.arange(NE, 0, -1))
         return flux, None
 
-    def z_step_rank1(flux, i):
+    def z_step_rank1(flux, xs_i):
         """s-channel-only sweep in log depth.
 
         alpha[j, m] = dE_ext[j'] * rho_ext[m'] (exactly; kernels.alpha_s_rho)
@@ -560,7 +711,8 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         recurrence — an `associative_scan` in processing (descending-bin)
         order replaces the 500-step sequential chain.
         """
-        ndfac, pref, lum, Zdr, coup = node_common(flux, i)
+        i, lum = xs_i
+        ndfac, pref, Zdr, coup = node_common(flux, i, lum)
         # RANGE SAFETY: the raw accumulation weight rho*nd/dE sits around
         # 1e-37 (and the raw rho TABLE itself under ~1e-38 for weak
         # couplings) — at the floor of the f32 exponent range that TPU
@@ -597,7 +749,7 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         x = V + (cum * d_w)[:, None] * U
         return x.T, None
 
-    def z_step_trisolve(flux, i):
+    def z_step_trisolve(flux, xs_i):
         """General-kernel sweep as one scalar triangular solve.
 
         With y_j = Wf . x_j and K[j,m] = alpha[j,m]/dE_m (strictly upper
@@ -606,7 +758,8 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         a unit-diagonal upper-triangular NE x NE system — one blocked
         triangular solve per z-node instead of an NE-step scan chain.
         """
-        ndfac, pref, lum, Zdr, coup = node_common(flux, i)
+        i, lum = xs_i
+        ndfac, pref, Zdr, coup = node_common(flux, i, lum)
         A_i = lax.dynamic_slice(tblA, (i - 1, i - 1), (NE, NE)) * ndfac
 
         U, V = _node_affine(pref, Zdr, coup, lum, flux, Wf)
@@ -628,11 +781,21 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         phi = _rank1_f32_scan(xs, Wf, NE, unroll=cfg.march_unroll)
         # back to counts in f64 (the last node's preconditioner scale)
         flux = phi.astype(jnp.float64) * scale[None, :]
+    elif march == "trisolve_f32":
+        xs, scale = _trisolve_f32_rows(cfg, gr, params, norm_total,
+                                       tblG, tblAt, pref_A)
+        phi = _trisolve_f32_scan(xs, A32ext, Wf, NE,
+                                 unroll=cfg.march_unroll)
+        flux = phi.astype(jnp.float64) * scale[None, :]
     else:
         z_step = {"loop": z_step_loop, "rank1": z_step_rank1,
                   "trisolve": z_step_trisolve}[march]
         flux0 = jnp.zeros((3, NE), dtype=jnp.float64)
-        flux, _ = lax.scan(z_step, flux0, jnp.arange(Nz - 1, 0, -1))
+        steps = jnp.arange(Nz - 1, 0, -1)
+        lum_all = jax.vmap(
+            lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
+                                   norm_total))(z[steps])
+        flux, _ = lax.scan(z_step, flux0, (steps, lum_all))
 
     flux = flux * inv_dE[None, :]          # counts -> differential flux
     flux_fla = Wsq @ flux                  # mass -> flavor basis

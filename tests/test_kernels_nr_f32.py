@@ -230,6 +230,140 @@ def test_config_validation_f32_trisolve():
            phiphi=False)  # ok
     Config(non_resonant=True, march="auto", table_dtype="f32",
            phiphi=False)  # ok
+    Config(non_resonant=True, march="trisolve_f32", phiphi=False)  # ok
     with pytest.raises(ValueError):
         Config(non_resonant=False, march="trisolve", table_dtype="f32",
                phiphi=False)
+    with pytest.raises(ValueError):
+        Config(non_resonant=False, march="trisolve_f32", phiphi=False)
+
+
+@pytest.mark.parametrize("case", [HIGH_E_MAJ, HIGH_E_DIR, GOLDEN_NR],
+                         ids=["highE-maj", "highE-dirac", "golden-nr"])
+def test_trisolve_f32_march_matches_f64(case):
+    """The native-f32 general-kernel march (free-streaming-preconditioned
+    triangular solve against the normalized f32 alpha table) against the
+    f64 trisolve march consuming the same f32 quadrature table."""
+    mphi, g, maj, nb, lo, hi, mntot = case
+    src = "powerlaw" if lo > 8 else "dsnb"
+    p = PhysicsParams.create(mphi, g, mntot,
+                             2.5 if lo > 8 else 2.0,
+                             1.0 if lo > 8 else 6.0)
+    cfg64 = Config(N_bins_E=nb, lEmin=lo, lEmax=hi, non_resonant=True,
+                   phiphi=False, majorana=maj, march="trisolve",
+                   table_dtype="f32", source=src)
+    cfg32 = Config(N_bins_E=nb, lEmin=lo, lEmax=hi, non_resonant=True,
+                   phiphi=False, majorana=maj, march="trisolve_f32",
+                   source=src)
+    f64 = np.asarray(transport.evolve(p, cfg64).flux_fla)
+    f32 = np.asarray(transport.evolve(p, cfg32).flux_fla)
+    pk = np.abs(f64).max()
+    gate = np.abs(f64) > pk * 1e-10
+    rel = np.max(np.abs(f32 - f64)[gate] / np.abs(f64)[gate])
+    assert rel < 2e-5, rel
+
+
+@pytest.mark.parametrize("case", [HIGH_E_MAJ, GOLDEN_NR],
+                         ids=["highE", "golden-nr"])
+def test_trisolve_f32_rows_survive_narrow_exponent_window(case):
+    """Same TPU-exponent-window guard as the rank1_f32 march
+    (test_march.py::test_f32_rows_survive_narrow_exponent_window): run
+    the trisolve_f32 row precompute through a float32-window flush
+    emulator and require the flux to stay inside the physics gate."""
+    import jax.numpy as jnp
+
+    mphi, g, maj, nb, lo, hi, mntot = case
+    src = "powerlaw" if lo > 8 else "dsnb"
+    F32_TINY = float(np.finfo(np.float32).tiny)
+    F32_HUGE = float(np.finfo(np.float32).max)
+
+    def flush(x):
+        x = jnp.asarray(x)
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        a = jnp.abs(x)
+        x = jnp.where(a < F32_TINY, jnp.zeros_like(x), x)
+        return jnp.where(a > F32_HUGE, jnp.sign(x) * jnp.inf, x)
+
+    from nusiprop_tpu.models import kernels_nr_f32, sources
+
+    cfg = Config(N_bins_E=nb, lEmin=lo, lEmax=hi, non_resonant=True,
+                 phiphi=False, majorana=maj, march="trisolve_f32",
+                 source=src)
+    p = PhysicsParams.create(mphi, g, mntot, 2.5 if lo > 8 else 2.0,
+                             1.0 if lo > 8 else 6.0)
+    cfg64 = Config(N_bins_E=nb, lEmin=lo, lEmax=hi, non_resonant=True,
+                   phiphi=False, majorana=maj, march="trisolve",
+                   table_dtype="f32", source=src)
+    truth = np.asarray(transport.evolve(p, cfg64).flux)
+
+    gr = grids.build(cfg)
+    Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+    mn = masses.mass_spectrum(p.mntot, cfg.normal_ordering)
+    norm_total = p.norm / sources.flux_fs_e0(p.si, gr.zmax_eff)
+    kw = dict(majorana=maj, non_resonant=True, phiphi=False)
+    tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi,
+                               Wf, **kw)
+    tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn, p.g,
+                                     p.mphi, Wf, **kw)
+    A32, pref = kernels_nr_f32.alpha_table_f32(
+        gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi, Wf, majorana=maj,
+        raw=True)
+
+    xs, scale = transport._trisolve_f32_rows(
+        cfg, gr, p, norm_total, flush(tblG), flush(tblAt), pref,
+        window=flush)
+    assert all(bool(jnp.isfinite(x).all()) for x in xs)
+    phi = transport._trisolve_f32_scan(xs[:-1] + (xs[-1],), A32, Wf,
+                                       cfg.N_bins_E)
+    flux = (np.asarray(phi, dtype=np.float64)
+            * np.asarray(scale, dtype=np.float64)[None, :]
+            / np.asarray(gr.Emax - gr.Emin)[None, :])
+    m = np.abs(truth) > np.abs(truth).max() * 1e-10
+    rel = np.max(np.abs(flux - truth)[m] / np.abs(truth)[m])
+    assert rel < 1e-3, rel
+
+
+def test_trisolve_f32_phiphi_folds_pp_channel():
+    """With phiphi on, the f64 pp channel folds into the normalized f32
+    table; the f32 march must stay within the physics gate of the f64
+    march consuming the same channels."""
+    import pathlib
+
+    from nusiprop_tpu.models import pp_tables as ppt
+
+    data = pathlib.Path(__file__).parents[1] / "data" / "pp_tables_small.npz"
+    if not data.exists():
+        pytest.skip("small pp tables not generated")
+    pp = ppt.load_npz(str(data))
+    p = PhysicsParams.create(6e5, 1e-2, 0.1, 2.5, 1.0)
+    kw = dict(N_bins_E=150, lEmin=9.0, lEmax=14.0, non_resonant=True,
+              phiphi=True, source="powerlaw")
+    f64 = np.asarray(transport.evolve(
+        p, Config(march="trisolve", table_dtype="f32", **kw),
+        pp_tables=pp).flux_fla)
+    f32 = np.asarray(transport.evolve(
+        p, Config(march="trisolve_f32", **kw), pp_tables=pp).flux_fla)
+    pk = np.abs(f64).max()
+    gate = np.abs(f64) > pk * 1e-10
+    rel = np.max(np.abs(f32 - f64)[gate] / np.abs(f64)[gate])
+    assert rel < 2e-5, rel
+
+
+def test_trisolve_f32_batched_grid_scan():
+    """grid_scan routes trisolve_f32 through build_tables (raw f32 table
+    + pref pytree) and agrees with single evolves."""
+    import nusiprop_tpu as nu
+
+    mphi, g, maj, nb, lo, hi, mntot = HIGH_E_MAJ
+    cfg = Config(N_bins_E=nb, lEmin=lo, lEmax=hi, non_resonant=True,
+                 phiphi=False, majorana=maj, march="trisolve_f32",
+                 source="powerlaw")
+    params = nu.param_grid([mphi, 3 * mphi], [g], mntot=mntot, si=2.5,
+                           norm=1.0)
+    res = nu.grid_scan(params, cfg)
+    single = transport.evolve(
+        PhysicsParams.create(mphi, g, mntot, 2.5, 1.0), cfg)
+    # f32 march: vmap changes fusion order, so agreement is f32-level
+    np.testing.assert_allclose(np.asarray(res.flux_fla)[0],
+                               np.asarray(single.flux_fla), rtol=1e-6)
