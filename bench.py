@@ -105,7 +105,10 @@ def main():
     # points cascade-amplify the number flux to ~1e34, whose solve
     # intermediates exceed the f32 exponent window TPU f64-emulation
     # carries. Timing is identical (same program, data-independent).
-    nr_batch = int(os.environ.get("BENCH_NR_BATCH", "32"))
+    # Batch 8 default: every distinct batch shape pays a full remote
+    # compile of the staged programs on the tunneled TPU (tens of
+    # minutes); 8 is the warm-cached shape.
+    nr_batch = int(os.environ.get("BENCH_NR_BATCH", "8"))
 
     if nr_headline:
         cfg = _cfg(True, "auto")
