@@ -889,18 +889,15 @@ def _march_general(params: PhysicsParams, Q, tables, cfg: Config) -> EvolveResul
     offd_mask = 1.0 - jnp.eye(3, dtype=jnp.float64)
     eyeNE = jnp.eye(NE, dtype=jnp.float64)
 
-    def z_step(flux, i):
+    def z_step(flux, xs_i):
+        i, lum = xs_i
         zim = z[i - 1]
-        zi = z[i]
-        H = sources.get_H(zim)
         ndfac = sources.get_nd(zim) / (1.0 + zim) ** 2
-        pref = (1.0 + zim) * dlogz / H
+        pref = (1.0 + zim) * dlogz / sources.get_H(zim)
 
         G_i = lax.dynamic_slice(Geff, (0, i - 1), (3, NE)) * ndfac
         At_i = lax.dynamic_slice(Ateff, (0, i - 1), (3, NE)) * ndfac
         A_i = lax.dynamic_slice(Aeff, (0, i - 1, i - 1), (3, NE, NE)) * ndfac
-
-        lum = _source_lum(cfg, zi, gr.Emin, gr.Emax, params.si, norm_total)
 
         # Zdr[k, j]: absorption minus self-regeneration (nuSIprop.hpp:294
         # with Wf_k -> B_k, Wf-weighted tables -> Q-contracted tables)
@@ -930,7 +927,13 @@ def _march_general(params: PhysicsParams, Q, tables, cfg: Config) -> EvolveResul
         return x.T, None
 
     flux0 = jnp.zeros((3, NE), dtype=jnp.float64)
-    flux, _ = lax.scan(z_step, flux0, jnp.arange(Nz - 1, 0, -1))
+    steps = jnp.arange(Nz - 1, 0, -1)
+    # source integrals precomputed outside the scan (cf. the diagonal
+    # marches: in-scan polylog chains are latency-bound on TPU)
+    lum_all = jax.vmap(
+        lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
+                               norm_total))(z[steps])
+    flux, _ = lax.scan(z_step, flux0, (steps, lum_all))
 
     flux = flux * inv_dE[None, :]
     flux_fla = Wsq @ flux

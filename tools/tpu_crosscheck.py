@@ -40,12 +40,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import nusiprop_tpu as nu
 from nusiprop_tpu.config import Config
 
-# march pinned explicitly: "auto" now resolves to rank1_f32 on TPU,
-# but the non-f32 mode of this tool must keep testing the f64 path
+# march pinned explicitly: "auto" resolves per backend, but this tool
+# wants the SAME algorithm on both sides. Non-resonant mode pins the
+# all-f32 pipeline on BOTH sides (hardware-faithfulness gate): the f64
+# closed forms are NOT a valid referee at the sub-resonance scan points
+# of this workload — their antiderivative differences are cancellation
+# noise up to ~1e9x the true kernel values (kernels_nr_f32 docstring;
+# the scipy-referee'd accuracy gate lives in tests/test_kernels_nr_f32).
+if nr:
+    march = "trisolve_f32"
+elif use_f32:
+    march = "rank1_f32"
+else:
+    march = "rank1"
 cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
-             non_resonant=nr, phiphi=False,
-             march=("rank1_f32" if use_f32
-                    else ("auto" if nr else "rank1")))
+             non_resonant=nr, phiphi=False, march=march)
 mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
 g0 = g_override if g_override > 0 else (1e-3 if nr else 1e-2)
 params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [g0],
