@@ -105,10 +105,13 @@ def main():
     # points cascade-amplify the number flux to ~1e34, whose solve
     # intermediates exceed the f32 exponent window TPU f64-emulation
     # carries. Timing is identical (same program, data-independent).
-    # Batch 8 default: every distinct batch shape pays a full remote
-    # compile of the staged programs on the tunneled TPU (tens of
-    # minutes); 8 is the warm-cached shape.
-    nr_batch = int(os.environ.get("BENCH_NR_BATCH", "8"))
+    # Batch 64 default: the measured NR sweet spot (8 -> 6.7k, 32 ->
+    # 10.9k, 64 -> 11.8k z-steps/s; the march scales ~linearly with
+    # batch above 32, so larger batches no longer amortize — see
+    # BENCH_NOTES round 2). Every distinct batch shape pays a full
+    # remote compile of the staged programs on the tunneled TPU
+    # (persistently cached; 8/32/64 are the warm shapes).
+    nr_batch = int(os.environ.get("BENCH_NR_BATCH", "64"))
 
     if nr_headline:
         cfg = _cfg(True, "auto")

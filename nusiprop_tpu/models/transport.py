@@ -403,12 +403,17 @@ def _trisolve_f32_scan(xs, A32ext, Wf, NE: int, unroll: int = 1):
         qv = wv / s                       # Wf . V under Sherman-Morrison
 
         Awin = lax.dynamic_slice(A32ext, (i - 1, i - 1), (NE, NE))
-        Khat = Awin * CS[None, :]
         pu = PT * (wu / s)                # Wf . U, target-scaled
-        T = eyeNE - pu[:, None] * Khat
+        # K̂ = Awin·diag(CS) is never formed: T fuses elementwise from
+        # Awin (row scale pu, col scale CS), and K̂@y associates as
+        # Awin@(CS·y) — same products and summation order. Measured
+        # wall-neutral on TPU (XLA already fused the old form; the
+        # per-step cost is the batched triangular-solve latency, ~6x
+        # above the pure HBM bound — see BENCH_NOTES round 2).
+        T = eyeNE - pu[:, None] * (CS[None, :] * Awin)
         y = jax.scipy.linalg.solve_triangular(
             T, qv[:, None], lower=False, unit_diagonal=True)[:, 0]
-        reg = PT * (Khat @ y)
+        reg = PT * (Awin @ (CS * y))
         x = V + reg[:, None] * U
         return x.T, None
 

@@ -1,12 +1,18 @@
 """Split the headline-bench wallclock into kernel-table build vs march.
 
-The rank1_f32 march runs natively in float32, but its kernel tables
-(gamma / alphatilde / rho on the extended bin axis) are still built in
-emulated float64. This tool times (a) the full evolve, (b) a
-tables-only program, on the bench shapes, to show where the remaining
-wall goes and whether an f32 table build is worth pursuing.
+s-channel mode (default): the rank1_f32 march runs natively in
+float32; this times (a) the full evolve, (b) a tables-only program,
+on the bench shapes, to show where the remaining wall goes.
 
-Usage: python tools/bench_split.py [batch]
+--nr mode: stage split of the non-resonant trisolve_f32 evolve — each
+staged per-channel table program individually (NOTE: each fenced call
+pays the full ~28 ms tunnel round-trip, while inside grid_scan the
+staged programs dispatch asynchronously and their RTTs overlap, so the
+per-stage walls here deliberately over-count; subtract ~28 ms per line
+for device time), the f32 alpha build, and the march with tables
+precomputed.
+
+Usage: python tools/bench_split.py [--nr] [batch]
 """
 
 import pathlib
@@ -19,8 +25,60 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 
+def nr_split(batch):
+    """Stage split of the non-resonant trisolve_f32 evolve."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    import nusiprop_tpu as nu
+    from nusiprop_tpu.config import Config
+    from nusiprop_tpu.models import transport
+
+    cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=True, phiphi=False, march="auto")
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [1e-3],
+                           mntot=mntot, si=2.0, norm=6.0)
+    print("march:", transport._resolve_march(cfg), "batch:", batch)
+
+    def fence(x):
+        return float(jnp.sum(jnp.asarray(x, dtype=jnp.float32)))
+
+    def timeit(name, fn, reps=3):
+        jax.tree.map(fence, fn())  # warm/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.tree.map(fence, fn())
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:34s} {min(ts)*1e3:9.1f} ms")
+
+    timeit("full grid_scan evolve", lambda: nu.grid_scan(params, cfg).flux)
+    for table in ("gamma", "alphatilde"):
+        for ch in transport._channels(cfg):
+            fn = transport._channel_builder_jit(cfg, table, ch, True, False)
+            timeit(f"{table}:{ch}", lambda fn=fn: fn(params, None))
+    timeit("alpha f32 (raw)",
+           lambda: transport._alpha_f32_builder_jit(cfg, True, True)(params))
+
+    tables = transport.build_tables(params, cfg, batched=True)
+    jax.tree.map(fence, tables)
+    ev = jax.jit(lambda p, t: jax.vmap(
+        lambda q, tt: transport.evolve_core(q, cfg, tables=tt))(p, t).flux)
+    timeit("march only (tables precomputed)", lambda: ev(params, tables))
+
+
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    args = [a for a in sys.argv[1:] if a != "--nr"]
+    batch_arg = int(args[0]) if args else None
+    if "--nr" in sys.argv[1:]:
+        nr_split(batch_arg or 8)
+        return
+    batch = batch_arg or 256
 
     import jax
 
