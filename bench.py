@@ -105,12 +105,13 @@ def main():
     # points cascade-amplify the number flux to ~1e34, whose solve
     # intermediates exceed the f32 exponent window TPU f64-emulation
     # carries. Timing is identical (same program, data-independent).
-    # Batch 64 default: the measured NR sweet spot (8 -> 6.7k, 32 ->
-    # 10.9k, 64 -> 11.8k z-steps/s; the march scales ~linearly with
-    # batch above 32, so larger batches no longer amortize — see
-    # BENCH_NOTES round 2). Every distinct batch shape pays a full
-    # remote compile of the staged programs on the tunneled TPU
-    # (persistently cached; 8/32/64 are the warm shapes).
+    # Batch 64 default: the measured NR sweet spot with the nilpotent
+    # Neumann-product march solver (8 -> 6.7k, 32 -> 18.5k, 64 ->
+    # 20.2k z-steps/s; above 32 both the alpha build and the march
+    # scale ~linearly with batch, so larger batches no longer
+    # amortize — see BENCH_NOTES round 2). Every distinct batch shape
+    # pays a full remote compile of the staged programs on the
+    # tunneled TPU (persistently cached; 8/32/64 are the warm shapes).
     nr_batch = int(os.environ.get("BENCH_NR_BATCH", "64"))
 
     if nr_headline:
