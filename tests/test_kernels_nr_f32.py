@@ -367,3 +367,19 @@ def test_trisolve_f32_batched_grid_scan():
     # f32 march: vmap changes fusion order, so agreement is f32-level
     np.testing.assert_allclose(np.asarray(res.flux_fla)[0],
                                np.asarray(single.flux_fla), rtol=1e-6)
+
+
+@pytest.mark.parametrize("ne", [37, 100, 129, 500])
+def test_nilpotent_solve_matches_f64_truth(ne):
+    """transport._nilpotent_solve: blocked Neumann-product inverse of
+    I - N (N strictly upper, non-negative, nilpotent) matches the f64
+    dense solve to f32 round-off, including the pad path (ne not a
+    multiple of the 128 block) and the small-single-block path."""
+    rng = np.random.default_rng(ne)
+    N = np.triu(rng.uniform(0.0, 1.0, (ne, ne)), k=1) * (2.0 / ne)
+    q = rng.uniform(0.5, 1.0, ne)
+    x64 = np.linalg.solve(np.eye(ne) - N, q)
+    x32 = np.asarray(transport._nilpotent_solve(
+        jnp.asarray(N, jnp.float32), jnp.asarray(q, jnp.float32)))
+    rel = np.max(np.abs(x32 - x64) / np.abs(x64))
+    assert rel < 5e-6, (ne, rel)
