@@ -42,6 +42,7 @@ from nusiprop_tpu.models.transport import (
     evolve,
     evolve_general,
 )
+from nusiprop_tpu.fit import FitResult, fit, spectral_loss
 from nusiprop_tpu.parallel.scan import (
     checkpointed_grid_scan,
     grid_scan,
@@ -63,6 +64,9 @@ __all__ = [
     "PhysicsParams",
     "evolve",
     "check_energy_conservation",
+    "FitResult",
+    "fit",
+    "spectral_loss",
     "checkpointed_grid_scan",
     "grid_scan",
     "param_grid",

@@ -43,3 +43,12 @@ def test_run_grid_scan():
     assert "scanning 8 (g, mphi) points" in out.stdout
     assert "us/point" in out.stdout
     assert "deepest absorption" in out.stdout
+
+
+def test_run_fit():
+    out = _run("run_fit.py", "150")
+    assert "recovered:" in out.stdout
+    assert "ridge invariant g/mphi" in out.stdout
+    # the ridge invariant must be recovered to <1%
+    pct = float(out.stdout.rsplit("(", 1)[1].split("%")[0])
+    assert pct < 1.0, out.stdout
