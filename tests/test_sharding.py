@@ -84,3 +84,18 @@ def test_presharded_input_respected(cfg, params16):
     ref = nu.grid_scan(params16, cfg)
     np.testing.assert_allclose(np.asarray(res.flux_fla),
                                np.asarray(ref.flux_fla), rtol=1e-12)
+
+
+def test_nonresonant_f32_march_sharded_matches_unsharded():
+    """The native-f32 non-resonant march (the TPU production path for
+    the reference's default channel set) under mesh sharding: each
+    device runs its shard's trisolve_f32 march; results must equal the
+    unsharded batched evolve bit-for-bit (same program per point)."""
+    cfg = Config(N_bins_E=24, lEmin=4.0, lEmax=9.0, non_resonant=True,
+                 phiphi=False, march="trisolve_f32", source="powerlaw")
+    params = nu.param_grid(np.geomspace(5e5, 5e7, 8), [1e-3],
+                           mntot=0.1, si=2.5, norm=1.0)
+    ref = nu.grid_scan(params, cfg)
+    res = sharded_grid_scan(params, cfg)
+    np.testing.assert_allclose(np.asarray(res.flux_fla),
+                               np.asarray(ref.flux_fla), rtol=1e-12)
