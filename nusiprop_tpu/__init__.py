@@ -42,7 +42,7 @@ from nusiprop_tpu.models.transport import (
     evolve,
     evolve_general,
 )
-from nusiprop_tpu.fit import FitResult, fit, spectral_loss
+from nusiprop_tpu.fit import FitResult, fisher, fit, spectral_loss
 from nusiprop_tpu.parallel.scan import (
     checkpointed_grid_scan,
     grid_scan,
@@ -65,6 +65,7 @@ __all__ = [
     "evolve",
     "check_energy_conservation",
     "FitResult",
+    "fisher",
     "fit",
     "spectral_loss",
     "checkpointed_grid_scan",

@@ -61,6 +61,43 @@ def spectral_loss(flux_fla, target_fla, floor_rel=1e-12):
     return jnp.sum(w * (lf - lt) ** 2) / jnp.sum(w)
 
 
+def fisher(cfg: Config, params: PhysicsParams, fit_fields=("g", "mphi"),
+           *, sigma=0.1, floor_rel=1e-12, pp_tables=None):
+    """Fisher information (and covariance) of the physics parameters
+    in log10 space, treating each gated bin of the log flavor
+    spectrum as an independent Gaussian measurement with std ``sigma``
+    (dex). Forward-mode Jacobian of the whole evolve — a few columns,
+    one per fit field.
+
+    Returns ``(F, cov)``, both (len(fit_fields), len(fit_fields)) in
+    the order of ``fit_fields``. A near-singular F diagnoses a
+    degeneracy ridge (e.g. the sub-resonance g/mphi direction,
+    examples/run_fit.py); ``cov`` then carries huge variances along it
+    — inspect eigenvectors of F rather than marginal errors.
+    """
+    bad = set(fit_fields) - set(_ALL_FIELDS)
+    if bad:
+        raise ValueError(f"unknown fit fields {sorted(bad)}")
+    x0 = _pack(params, fit_fields)
+
+    @jax.jit
+    def jac(x0):
+        def masked_logflux(x):
+            p = _unpack(x, params)
+            f = transport.evolve(p, cfg, pp_tables=pp_tables).flux_fla
+            pk = jnp.max(jax.lax.stop_gradient(f))
+            gate = jax.lax.stop_gradient(f) > pk * floor_rel
+            lf = jnp.log10(jnp.maximum(f, pk * floor_rel))
+            return jnp.where(gate, lf, 0.0)
+
+        return jax.jacfwd(masked_logflux)(x0)
+
+    J = jac(x0)  # dict: field -> (3, N_bins_E)
+    Jm = jnp.stack([J[k].ravel() for k in fit_fields], axis=-1)
+    F = (Jm.T @ Jm) / (sigma * sigma)
+    return F, jnp.linalg.inv(F)
+
+
 class FitResult(NamedTuple):
     params: PhysicsParams   # best-loss parameters seen
     loss: jax.Array         # loss at ``params``
@@ -77,6 +114,11 @@ def fit(cfg: Config, target_fla, init: PhysicsParams,
     optimize (mphi/g/norm move in log10 space); the rest stay at their
     ``init`` values. The whole optimization — evolve, loss, gradient,
     Adam update — runs as ONE compiled ``lax.scan``.
+
+    Multi-start: pass an ``init`` with batched leaves (leading axis S,
+    e.g. from ``param_grid`` / ``stack_params``, the same idiom as
+    ``grid_scan``) and all S optimizations run as one ``vmap``'d
+    program; the best-loss start is returned.
     """
     import optax
 
@@ -92,8 +134,25 @@ def fit(cfg: Config, target_fla, init: PhysicsParams,
     target = jnp.asarray(target_fla, dtype=jnp.float64)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
+    batched = jnp.ndim(init.mphi) >= 1
+    scalar_init = (jax.tree.map(lambda v: jnp.asarray(v)[0], init)
+                   if batched else init)
+    if batched:
+        # only the FIT fields may differ across starts; frozen fields
+        # are taken from start 0, so divergent values would be silent
+        import numpy as np
+
+        for k in _ALL_FIELDS:
+            if k in fit_fields:
+                continue
+            v = np.asarray(getattr(init, k))
+            if v.ndim and not (v == v.reshape(-1)[0]).all():
+                raise ValueError(
+                    f"multi-start: non-fit field {k!r} varies across "
+                    "starts; add it to fit_fields or make it uniform")
+
     def loss_of(x):
-        p = _unpack(x, init)
+        p = _unpack(x, scalar_init)
         res = transport.evolve(p, cfg, pp_tables=pp_tables)
         return spectral_loss(res.flux_fla, target, floor_rel)
 
@@ -122,5 +181,11 @@ def fit(cfg: Config, target_fla, init: PhysicsParams,
         best_loss = jnp.where(better, final_loss, best_loss)
         return best_x, best_loss, history
 
+    if batched:
+        best_x, best_loss, history = jax.jit(jax.vmap(run))(x0)
+        i = jnp.argmin(best_loss)
+        best_x = jax.tree.map(lambda v: v[i], best_x)
+        return FitResult(_unpack(best_x, scalar_init), best_loss[i],
+                         history[i])
     best_x, best_loss, history = run(x0)
-    return FitResult(_unpack(best_x, init), best_loss, history)
+    return FitResult(_unpack(best_x, scalar_init), best_loss, history)

@@ -69,3 +69,36 @@ def test_fit_input_validation():
         nu.fit(Config(N_bins_E=40, lEmin=4.0, lEmax=9.0,
                       non_resonant=True, march="trisolve_f32"),
                np.ones((3, 40)), init)
+
+
+def test_fisher_flags_the_degeneracy_ridge():
+    """At the sub-resonance point the Fisher matrix in (log10 g,
+    log10 mphi) must be near-singular along the (1, 1) ridge direction
+    (equal log shifts preserve the spectrum — see examples/run_fit.py)."""
+    p = PhysicsParams.create(6e5, 1e-2, 0.0587, 2.0, 6.0)
+    F, cov = nu.fisher(CFG, p, fit_fields=("g", "mphi"))
+    w, v = np.linalg.eigh(np.asarray(F))
+    assert w[0] / w[1] < 1e-3, w          # near-singular
+    ridge = v[:, 0] / np.linalg.norm(v[:, 0])
+    assert abs(abs(ridge @ np.array([1.0, 1.0]) / np.sqrt(2)) - 1) < 1e-2
+    assert np.asarray(cov).shape == (2, 2)
+
+
+def test_fit_multistart_batched_init():
+    true = PhysicsParams.create(6e5, 1e-2, 0.0587, 2.0, 6.0)
+    target = transport.evolve(true, CFG).flux_fla
+    inits = nu.stack_params([
+        PhysicsParams.create(6e5, 10.0 ** lg, 0.0587, 2.0, 6.0)
+        for lg in (-3.0, -2.4, -1.4)])
+    res = nu.fit(CFG, target, inits, fit_fields=("g",), steps=60,
+                 learning_rate=0.1)
+    assert abs(float(jnp.log10(res.params.g)) - (-2.0)) < 0.02
+    assert res.history.shape == (60,)
+
+
+def test_fit_multistart_rejects_varying_frozen_field():
+    inits = nu.stack_params([
+        PhysicsParams.create(6e5, 1e-2, 0.0587, 2.0, 6.0),
+        PhysicsParams.create(7e5, 1e-2, 0.0587, 2.0, 6.0)])
+    with pytest.raises(ValueError, match="varies across starts"):
+        nu.fit(CFG, np.ones((3, 40)), inits, fit_fields=("g",))
