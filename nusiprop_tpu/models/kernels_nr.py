@@ -53,7 +53,15 @@ def _lnabs(x):
 
 
 def _log1p(x):
-    return jnp.log1p(jnp.maximum(x, -1.0 + _TINY))
+    # The floor must be REPRESENTABLE next to -1: in f64,
+    # -1.0 + 1e-30 == -1.0 exactly, making the old _TINY floor a
+    # silent no-op — log1p(-1) = -inf in branches that jnp.where then
+    # discards, which is fine forward but poisons reverse-mode AD
+    # (0 * inf = NaN through the maximum/where VJPs; found by
+    # tests/test_grad.py's non-resonant gradient check). Every TAKEN
+    # use site has argument >= 0 (strict-upper pair geometry), so the
+    # 1e-15 floor only affects discarded branches.
+    return jnp.log1p(jnp.maximum(x, -1.0 + 1e-15))
 
 
 def _sqrt(x):

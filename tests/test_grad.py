@@ -102,3 +102,27 @@ def test_fit_multistart_rejects_varying_frozen_field():
         PhysicsParams.create(7e5, 1e-2, 0.0587, 2.0, 6.0)])
     with pytest.raises(ValueError, match="varies across starts"):
         nu.fit(CFG, np.ones((3, 40)), inits, fit_fields=("g",))
+
+
+def test_grad_nonresonant_matches_finite_differences():
+    """The non-resonant kernel chains (dilog closed forms incl. the
+    alpha_tu where-guards) must be reverse-mode differentiable: pins
+    the _log1p representable-floor fix (a -1.0+1e-30 floor is == -1.0
+    in f64, so log1p(-1) = -inf leaked 0*inf = NaN into d/dmphi)."""
+    cfg = Config(N_bins_E=24, lEmin=9.0, lEmax=14.0, non_resonant=True,
+                 phiphi=False, source="powerlaw")
+
+    def loss(lg, lm):
+        p = PhysicsParams.create(10.0 ** lm, 10.0 ** lg, 0.1, 2.5, 1.0)
+        f = transport.evolve(p, cfg).flux_fla
+        pk = jnp.max(f)
+        return jnp.sum(jnp.log(jnp.maximum(f, pk * 1e-12)))
+
+    lg, lm = -2.0, float(np.log10(6e5))
+    grads = jax.grad(loss, argnums=(0, 1))(lg, lm)
+    eps = 1e-5
+    fd = ((loss(lg + eps, lm) - loss(lg - eps, lm)) / (2 * eps),
+          (loss(lg, lm + eps) - loss(lg, lm - eps)) / (2 * eps))
+    for g_ad, g_fd in zip(grads, fd):
+        assert np.isfinite(float(g_ad))
+        assert abs(float(g_ad) / float(g_fd) - 1.0) < 1e-5, (grads, fd)
