@@ -65,7 +65,12 @@ def _log1p(x):
 
 
 def _sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # Floor at _TINY, not 0: sqrt(0)'s VJP is ybar/0, and at clamped
+    # kinematic thresholds (e.g. gamma_pp's s = 4 clip) the incoming
+    # cotangent is 0, so reverse-mode AD produced 0*inf = NaN. The
+    # floor shifts forward values by at most sqrt(1e-30) = 1e-15 at
+    # exact thresholds (oracle-test tolerances are orders above).
+    return jnp.sqrt(jnp.maximum(x, _TINY))
 
 
 def _rect_gl3(f, ay, by, ax, bx):

@@ -126,3 +126,29 @@ def test_grad_nonresonant_matches_finite_differences():
     for g_ad, g_fd in zip(grads, fd):
         assert np.isfinite(float(g_ad))
         assert abs(float(g_ad) / float(g_fd) - 1.0) < 1e-5, (grads, fd)
+
+
+def test_grad_phiphi_matches_finite_differences():
+    """The phi-phi channel (threshold-clamped closed forms + spline
+    tables) must also be reverse-mode differentiable: pins the _sqrt
+    representable floor (sqrt(0) at the s=4 clamp made 0*inf = NaN)."""
+    from nusiprop_tpu.models import pp_tables
+
+    cfg = Config(N_bins_E=24, lEmin=9.0, lEmax=14.0, non_resonant=True,
+                 phiphi=True, source="powerlaw")
+    ppt = pp_tables.load_default()
+
+    def loss(lg, lm):
+        p = PhysicsParams.create(10.0 ** lm, 10.0 ** lg, 0.1, 2.5, 1.0)
+        f = transport.evolve(p, cfg, pp_tables=ppt).flux_fla
+        pk = jnp.max(f)
+        return jnp.sum(jnp.log(jnp.maximum(f, pk * 1e-12)))
+
+    lg, lm = -2.0, float(np.log10(6e5))
+    grads = jax.grad(loss, argnums=(0, 1))(lg, lm)
+    eps = 1e-5
+    fd = ((loss(lg + eps, lm) - loss(lg - eps, lm)) / (2 * eps),
+          (loss(lg, lm + eps) - loss(lg, lm - eps)) / (2 * eps))
+    for g_ad, g_fd in zip(grads, fd):
+        assert np.isfinite(float(g_ad))
+        assert abs(float(g_ad) / float(g_fd) - 1.0) < 1e-4, (grads, fd)
