@@ -76,8 +76,12 @@ _T_NEAR = 2.0
 
 # geometric panels per trapezoid segment of the q-sliced tensor
 # integrals (resolves the u ~ -1 structure of near-diagonal
-# wide-coordinate pairs; see tensor comment)
-_NPANEL = 5
+# wide-coordinate pairs; see tensor comment). 3 panels measured
+# indistinguishable from 5 at the stressed high-coordinate config
+# (max table error 2.709e-6 vs f64 closed forms for BOTH — f32
+# round-off dominates) while cutting the build ~20%; the scipy-referee
+# and flux-level gates (test_kernels_nr_f32) pin the accuracy.
+_NPANEL = 3
 
 # matches kernels_nr._COORD_FLOOR zeroing of sub-floor entries
 _COORD_FLOOR = 1e-8
