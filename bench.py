@@ -106,8 +106,8 @@ def main():
     # intermediates exceed the f32 exponent window TPU f64-emulation
     # carries. Timing is identical (same program, data-independent).
     # Batch 64 default: the measured NR sweet spot with the nilpotent
-    # Neumann-product march solver + 3-panel alpha build (8 -> 6.7k,
-    # 32 -> 18.5k, 64 -> 24.1k z-steps/s; above 32 the alpha build and march
+    # Neumann-product march solver + 3x3 panel alpha build (8 -> 6.7k,
+    # 32 -> 18.5k, 64 -> 28.2k z-steps/s; above 32 the alpha build and march
     # scale ~linearly with batch, so larger batches no longer
     # amortize — see BENCH_NOTES round 2). Every distinct batch shape
     # pays a full remote compile of the staged programs on the

@@ -284,8 +284,11 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
         # xi = ln(q/qlo), GL5 on _NPANEL uniform xi-panels; node weight
         # is wq * lnrho * q_node
         lnrho = jnp.log1p(ratm1) * F32(1.0 / _NPANEL)
+        # GL3 per panel: measured identical to GL5 at the stressed
+        # high-coordinate config (2.709e-6 max either way, f32
+        # round-off bound) — 9 q-nodes per segment instead of 15
         for k in range(_NPANEL):
-            for cq, wq in zip(_GL5_C, _GL5_W):
+            for cq, wq in zip(_GL3_C, _GL3_W):
                 dD = qlo * jnp.expm1((F32(k) + F32(cq)) * lnrho)
                 Delta = dlo + dD
                 a = jnp.maximum(zero, dD + d_a)     # x-slice start
