@@ -71,3 +71,11 @@ r_true = float(true.g) / float(true.mphi)
 r_hat = g_hat / m_hat
 print(f"ridge invariant g/mphi: true {r_true:.4e}  recovered {r_hat:.4e}"
       f"  ({abs(r_hat / r_true - 1.0) * 100:.2f}% off)")
+
+# The Fisher matrix quantifies the ridge the fit walked: its small
+# eigenvalue's eigenvector IS the flat (1,1)/sqrt(2) direction.
+F, _ = nu.fisher(cfg, res.params, fit_fields=("g", "mphi"))
+w, v = np.linalg.eigh(np.asarray(F))
+print(f"Fisher eigenvalues (log10-space): {w[0]:.3e}, {w[1]:.3e} "
+      f"(ratio {w[0] / w[1]:.1e}); flat direction "
+      f"[{v[0, 0]:+.3f}, {v[1, 0]:+.3f}] ~ the g/mphi ridge")

@@ -48,7 +48,10 @@ def test_run_grid_scan():
 def test_run_fit():
     out = _run("run_fit.py", "150")
     assert "recovered:" in out.stdout
-    assert "ridge invariant g/mphi" in out.stdout
+    ridge_line = [l for l in out.stdout.splitlines()
+                  if l.startswith("ridge invariant g/mphi")]
+    assert ridge_line, out.stdout
     # the ridge invariant must be recovered to <1%
-    pct = float(out.stdout.rsplit("(", 1)[1].split("%")[0])
+    pct = float(ridge_line[0].rsplit("(", 1)[1].split("%")[0])
     assert pct < 1.0, out.stdout
+    assert "Fisher eigenvalues" in out.stdout
