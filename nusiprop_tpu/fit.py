@@ -49,6 +49,19 @@ def _unpack(x, base: PhysicsParams) -> PhysicsParams:
     return dataclasses.replace(base, **upd)
 
 
+def _require_differentiable_march(cfg: Config):
+    """fit()/fisher() differentiate the float64 marches only; the f32
+    production marches (march='auto' on TPU) would silently put ~1e-5
+    round-off into the Jacobian — fatal for near-singular Fisher
+    analysis."""
+    if transport._resolve_march(cfg) not in ("rank1", "trisolve", "loop"):
+        raise ValueError(
+            "gradient-based inference differentiates the float64 marches; "
+            "use a config whose march resolves to 'rank1'/'trisolve'/"
+            "'loop' (march='auto' resolves to the non-differentiated f32 "
+            "march on TPU)")
+
+
 def spectral_loss(flux_fla, target_fla, floor_rel=1e-12):
     """Mean squared log-flux residual over bins above ``floor_rel`` of
     the target peak (the flux spans ~60 decades; a linear residual
@@ -78,6 +91,7 @@ def fisher(cfg: Config, params: PhysicsParams, fit_fields=("g", "mphi"),
     bad = set(fit_fields) - set(_ALL_FIELDS)
     if bad:
         raise ValueError(f"unknown fit fields {sorted(bad)}")
+    _require_differentiable_march(cfg)
     x0 = _pack(params, fit_fields)
 
     @jax.jit
@@ -125,16 +139,18 @@ def fit(cfg: Config, target_fla, init: PhysicsParams,
     bad = set(fit_fields) - set(_ALL_FIELDS)
     if bad:
         raise ValueError(f"unknown fit fields {sorted(bad)}")
-    if transport._resolve_march(cfg) not in ("rank1", "trisolve", "loop"):
-        raise ValueError(
-            "fit() differentiates the float64 marches; use a config whose "
-            "march resolves to 'rank1'/'trisolve'/'loop' (march='auto' "
-            "resolves to the non-differentiated f32 march on TPU)")
+    _require_differentiable_march(cfg)
 
     target = jnp.asarray(target_fla, dtype=jnp.float64)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
-    batched = jnp.ndim(init.mphi) >= 1
+    ndims = {k: jnp.ndim(getattr(init, k)) for k in _ALL_FIELDS}
+    batched = any(n >= 1 for n in ndims.values())
+    if batched and sorted(set(ndims.values())) != [1]:
+        raise ValueError(
+            "multi-start init must batch EVERY PhysicsParams leaf with "
+            f"one common leading axis (stack_params/param_grid do); got "
+            f"ndims {ndims}")
     scalar_init = (jax.tree.map(lambda v: jnp.asarray(v)[0], init)
                    if batched else init)
     if batched:

@@ -168,6 +168,55 @@ def _node_affine(pref, zdr, coup, lum, flux, Wf):
     return U, V
 
 
+def _f32_precond_common(cfg: Config, gr, params: PhysicsParams,
+                        norm_total, tblG, tblAt, w):
+    """Shared prologue of the two native-f32 row builders
+    (_rank1_f32_rows / _trisolve_f32_rows): per-node prefactors, the
+    windowed Γ/α̃ table rows on the extended-index ladder, the
+    factorized ladder source integrals (with per-node fallback for
+    registered custom sources), and the free-streaming preconditioner.
+    Every grouping goes through the ``w`` window hook so the range-
+    safety pairings are regression-checked once for BOTH marches
+    (tests/test_march.py / test_kernels_nr_f32 window emulators).
+    """
+    NE = cfg.N_bins_E
+    Nz = gr.N_steps_z
+    inv_dE = 1.0 / (gr.Emax - gr.Emin)
+    steps = jnp.arange(Nz - 1, 0, -1)
+    zim = gr.z[steps - 1]
+    zi = gr.z[steps]
+    ndfac_a = w(sources.get_nd(zim) / (1.0 + zim) ** 2)
+    pref_a = w((1.0 + zim) * gr.dlogz / sources.get_H(zim))
+
+    idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
+    G_w = w(tblG[idx] * ndfac_a[:, None])
+    At_w = w(tblAt[idx] * ndfac_a[:, None])
+
+    # Source integrals over the edge ladder where the source factorizes
+    # (one antiderivative eval per extended edge instead of per
+    # (node, bin) — for dsnb the polylog sweep is parameter-independent);
+    # registered custom sources fall back to the per-node evaluation.
+    kk = jnp.arange(NE + Nz, dtype=jnp.float64)
+    edges = 10.0 ** (cfg.lEmin + (cfg.lEmax - cfg.lEmin) * kk / NE)
+    lum_a = sources.lum_rows_extended(cfg.source, edges, zi, idx + 1,
+                                      params.si, norm_total)
+    if lum_a is None:
+        lum_a = jax.vmap(
+            lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
+                                   norm_total))(zi)
+    lum_a = w(lum_a)
+
+    # free-streaming preconditioner (counts after each node), floored
+    src_counts = w(pref_a[:, None] * lum_a)
+    S = w(jnp.cumsum(src_counts, axis=0))
+    N0 = jnp.max(S)
+    S = jnp.maximum(w(S / N0), 1e-15)
+    S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
+    N0S = w(N0 * S)
+    return (steps, idx, inv_dE, ndfac_a, pref_a, G_w, At_w,
+            src_counts, S, S_old, N0, N0S)
+
+
 def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
                     tblG, tblAt, rho_ext, dE_ext, window=None, prefs=None):
     """Per-z-node coefficient rows for the native-f32 march, plus the
@@ -199,45 +248,15 @@ def _rank1_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     # no-ops for the f64-table path).
     pG, pAt, prho = prefs if prefs is not None else (1.0, 1.0, 1.0)
     f32 = jnp.float32
-    NE = cfg.N_bins_E
-    Nz = gr.N_steps_z
-    inv_dE = 1.0 / (gr.Emax - gr.Emin)
-    steps = jnp.arange(Nz - 1, 0, -1)
-    zim = gr.z[steps - 1]
-    zi = gr.z[steps]
-    ndfac_a = w(sources.get_nd(zim) / (1.0 + zim) ** 2)
-    pref_a = w((1.0 + zim) * gr.dlogz / sources.get_H(zim))
+    (steps, idx, inv_dE, ndfac_a, pref_a, G_w, At_w,
+     src_counts, S, S_old, N0, N0S) = _f32_precond_common(
+        cfg, gr, params, norm_total, tblG, tblAt, w)
     prefG_a = w(pref_a * pG)
     prefAt_a = w(pref_a * pAt)
-
-    idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
-    G_w = w(tblG[idx] * ndfac_a[:, None])
-    At_w = w(tblAt[idx] * ndfac_a[:, None])
     # carry the exact 2^100 scale through the CF grouping; it cancels
     # only after the compensating (N0*S) factor has lifted the magnitude
     rho_w = w(rho_ext[idx] * w(ndfac_a[:, None] * (prho * _RSCALE)))
     d_w = dE_ext[idx]
-    # Source integrals over the edge ladder where the source factorizes
-    # (one antiderivative eval per extended edge instead of per
-    # (node, bin) — for dsnb the polylog sweep is parameter-independent);
-    # registered custom sources fall back to the per-node evaluation.
-    kk = jnp.arange(NE + Nz, dtype=jnp.float64)
-    edges = 10.0 ** (cfg.lEmin + (cfg.lEmax - cfg.lEmin) * kk / NE)
-    lum_a = sources.lum_rows_extended(cfg.source, edges, zi, idx + 1,
-                                      params.si, norm_total)
-    if lum_a is None:
-        lum_a = jax.vmap(
-            lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
-                                   norm_total))(zi)
-    lum_a = w(lum_a)
-
-    # free-streaming preconditioner (counts after each node), floored
-    src_counts = w(pref_a[:, None] * lum_a)
-    S = w(jnp.cumsum(src_counts, axis=0))
-    N0 = jnp.max(S)
-    S = jnp.maximum(w(S / N0), 1e-15)
-    S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
-    N0S = w(N0 * S)
 
     rows = dict(
         PG=w(w(prefG_a[:, None] * G_w) * inv_dE[None, :]),
@@ -328,36 +347,9 @@ def _trisolve_f32_rows(cfg: Config, gr, params: PhysicsParams, norm_total,
     """
     w = window if window is not None else (lambda x: x)
     f32 = jnp.float32
-    NE = cfg.N_bins_E
-    Nz = gr.N_steps_z
-    inv_dE = 1.0 / (gr.Emax - gr.Emin)
-    steps = jnp.arange(Nz - 1, 0, -1)
-    zim = gr.z[steps - 1]
-    zi = gr.z[steps]
-    ndfac_a = w(sources.get_nd(zim) / (1.0 + zim) ** 2)
-    pref_a = w((1.0 + zim) * gr.dlogz / sources.get_H(zim))
-
-    idx = (steps - 1)[:, None] + jnp.arange(NE)[None, :]
-    G_w = w(tblG[idx] * ndfac_a[:, None])
-    At_w = w(tblAt[idx] * ndfac_a[:, None])
-
-    lum_a = sources.lum_rows_extended(
-        cfg.source,
-        10.0 ** (cfg.lEmin + (cfg.lEmax - cfg.lEmin)
-                 * jnp.arange(NE + Nz, dtype=jnp.float64) / NE),
-        zi, idx + 1, params.si, norm_total)
-    if lum_a is None:
-        lum_a = jax.vmap(
-            lambda zz: _source_lum(cfg, zz, gr.Emin, gr.Emax, params.si,
-                                   norm_total))(zi)
-    lum_a = w(lum_a)
-
-    src_counts = w(pref_a[:, None] * lum_a)
-    S = w(jnp.cumsum(src_counts, axis=0))
-    N0 = jnp.max(S)
-    S = jnp.maximum(w(S / N0), 1e-15)
-    S_old = jnp.concatenate([jnp.zeros((1, NE)), S[:-1]], axis=0)
-    N0S = w(N0 * S)
+    (steps, idx, inv_dE, ndfac_a, pref_a, G_w, At_w,
+     src_counts, S, S_old, N0, N0S) = _f32_precond_common(
+        cfg, gr, params, norm_total, tblG, tblAt, w)
 
     # RANGE SAFETY groupings: pref_A (g^4, down to ~1e-24) pairs with
     # N0S (large) BEFORE meeting ndfac/dE (small); pref_a (~1e31) meets
@@ -640,21 +632,11 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         else:
             tblG, tblAt, tblA = tables
     elif march == "trisolve_f32":
-        from nusiprop_tpu.models import kernels_nr_f32
-
-        kw = dict(majorana=cfg.majorana, non_resonant=cfg.non_resonant,
-                  phiphi=cfg.phiphi, pp_tables=pp_tables)
-        tblG = kernels.gamma_table(gr.Emin_ext, gr.Emax_ext, mn, params.g,
-                                   params.mphi, Wf, **kw)
-        tblAt = kernels.alphatilde_table(gr.Emin_ext, gr.Emax_ext, mn,
-                                         params.g, params.mphi, Wf, **kw)
-        A32ext, pref_A = kernels_nr_f32.alpha_table_f32(
-            gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
-            majorana=cfg.majorana, raw=True)
-        if cfg.phiphi:  # fold the f64 pp channel into the normalized table
-            pp = kernels.alpha_table(gr.Emin_ext, gr.Emax_ext, mn, params.g,
-                                     params.mphi, Wf, channel="pp", **kw)
-            A32ext = A32ext + (pp / pref_A).astype(jnp.float32)
+        # Delegate to build_tables — the staged builders inline under an
+        # outer jit, and the (A32ext, pref_A) normalized-table contract
+        # (incl. the pp-channel fold) then has exactly one spelling.
+        tblG, tblAt, (A32ext, pref_A) = build_tables(
+            params, cfg, pp_tables=pp_tables)
         tblA = None
     elif march == "rank1_f32" and cfg.table_dtype in ("auto", "f32"):
         # Native-f32 s-channel table build (kernels_f32): the dominant
@@ -878,6 +860,11 @@ def _jitted_march_with_tables(cfg: Config):
     return jax.jit(lambda p, t: evolve_core(p, cfg, tables=t))
 
 
+@lru_cache(maxsize=None)
+def _jitted_evolve_with_pp(cfg: Config):
+    return jax.jit(lambda p, t: evolve_core(p, cfg, pp_tables=t))
+
+
 def evolve(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
     """Evolve the flux; compiled once per Config, cached across params.
 
@@ -889,10 +876,9 @@ def evolve(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
         tables = build_tables(params, cfg, pp_tables=pp_tables)
         return _jitted_march_with_tables(cfg)(params, tables)
     if pp_tables is not None:
-        # tables are arrays (pytree) — jit them as traced args
-        return jax.jit(
-            lambda p, t: evolve_core(p, cfg, pp_tables=t)
-        )(params, pp_tables)
+        # tables are arrays (pytree) — jit them as traced args (cached
+        # per Config: a fresh jit object here would retrace every call)
+        return _jitted_evolve_with_pp(cfg)(params, pp_tables)
     return _jitted_evolve(cfg)(params)
 
 

@@ -96,6 +96,27 @@ def test_fit_multistart_batched_init():
     assert res.history.shape == (60,)
 
 
+def test_fisher_rejects_f32_march():
+    p = PhysicsParams.create(6e5, 1e-2, 0.0587, 2.0, 6.0)
+    with pytest.raises(ValueError, match="f32"):
+        nu.fisher(Config(N_bins_E=40, lEmin=4.0, lEmax=9.0,
+                         non_resonant=True, march="trisolve_f32"), p)
+
+
+def test_fit_multistart_rejects_partially_batched_init():
+    """Every PhysicsParams leaf must share the leading start axis; a
+    hand-built init with a scalar leaf among batched ones would
+    otherwise vmap inconsistently."""
+    import dataclasses
+
+    inits = nu.stack_params([
+        PhysicsParams.create(6e5, 1e-3, 0.0587, 2.0, 6.0),
+        PhysicsParams.create(6e5, 1e-2, 0.0587, 2.0, 6.0)])
+    mixed = dataclasses.replace(inits, si=2.0)
+    with pytest.raises(ValueError, match="common leading axis"):
+        nu.fit(CFG, np.ones((3, 40)), mixed, fit_fields=("g",))
+
+
 def test_fit_multistart_rejects_varying_frozen_field():
     inits = nu.stack_params([
         PhysicsParams.create(6e5, 1e-2, 0.0587, 2.0, 6.0),
