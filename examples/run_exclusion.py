@@ -1,0 +1,109 @@
+"""Exclusion contour in the (mphi, g) plane — the reference's science
+product (arXiv:2107.13568 derives nuSI exclusion limits by comparing
+evolved spectra with observation; the fork targets the DSNB).
+
+The workflow the reference runs as a serial Python loop over
+``set_parameters(...); evolve()`` (test.py:76-83) is here one batched
+launch per grid: evolve every (mphi, g) point at once (``grid_scan``),
+score each spectrum against a mock observation with a per-bin Gaussian
+log-flux chi^2, and trace the 90% CL exclusion boundary g_excl(mphi)
+by log-interpolating each mphi column to Delta-chi^2 = 4.61 (2 dof).
+
+Mock observation: the free-streaming DSNB spectrum (no self-
+interaction) with sigma = 0.1 dex per-bin uncertainty over the
+detectable window (6 decades below peak) — so the contour answers
+"which couplings would have visibly distorted a standard-DSNB
+measurement".
+
+Run: python examples/run_exclusion.py [n_mphi] [n_g] [contour_out.txt]
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import nusiprop_tpu as nu
+
+n_mphi = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+n_g = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+out_path = sys.argv[3] if len(sys.argv) > 3 else None
+
+SIGMA_DEX = 0.1          # mock per-bin uncertainty on log10 flux
+GATE_DECADES = 6.0       # detectable window below the spectral peak
+DCHI2_90 = 4.61          # 90% CL, 2 degrees of freedom
+
+cfg = nu.Config(N_bins_E=100, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                non_resonant=False, phiphi=False)
+mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+
+# mock observation: free-streaming limit (coupling too weak to matter)
+fs = nu.evolve(nu.PhysicsParams.create(5e6, 1e-12, mntot, 2.0, 6.0),
+               cfg)
+obs = np.asarray(fs.flux_fla).sum(axis=0)        # observed nu+x flux
+gate = obs > obs.max() * 10.0 ** (-GATE_DECADES)
+log_obs = np.log10(np.where(gate, obs, 1.0))
+print(f"# mock observation: standard DSNB, {int(gate.sum())} gated bins,"
+      f" sigma = {SIGMA_DEX} dex")
+
+# the s-channel resonance E = mphi^2 / (2 m_nu) sweeps the DSNB window
+# (1e4-1e9 eV) for mphi ~ 30-1e4 eV; beyond that the spectrum is
+# untouched and the exclusion cliff appears (~3e3 eV here)
+mphi_vals = np.geomspace(1e2, 1e4, n_mphi)
+g_vals = np.geomspace(1e-11, 1e-5, n_g)
+params = nu.param_grid(mphi_vals=mphi_vals, g_vals=g_vals,
+                       mntot=mntot, si=2.0, norm=6.0)
+n = params.mphi.shape[0]
+print(f"# scanning {n} (mphi, g) points, {cfg.N_bins_E} bins")
+
+t0 = time.perf_counter()
+flx = np.asarray(nu.grid_scan(params, cfg).flux_fla).sum(axis=1)
+wall = time.perf_counter() - t0
+print(f"# grid evolve: {wall:.2f} s ({wall / n * 1e3:.1f} ms/point, "
+      f"compile included)")
+
+# per-point Delta-chi^2 vs the (chi^2 = 0) free-streaming observation
+log_f = np.log10(np.maximum(flx, 1e-300))
+dchi2 = (((log_f - log_obs[None, :]) / SIGMA_DEX) ** 2 * gate).sum(axis=1)
+dchi2 = dchi2.reshape(n_mphi, n_g)               # param_grid order
+
+# contour: per mphi column, first g crossing DCHI2_90 (log-g interp).
+# dchi2 rises monotonically with g here (more coupling, more distortion)
+lg = np.log10(g_vals)
+contour = np.full(n_mphi, np.nan)
+for i in range(n_mphi):
+    c = dchi2[i]
+    k = np.argmax(c > DCHI2_90)
+    if c[k] > DCHI2_90:                           # column crosses
+        if k == 0:
+            contour[i] = lg[0]                    # excluded from g_min on
+        else:
+            t = ((np.log(DCHI2_90) - np.log(c[k - 1]))
+                 / (np.log(c[k]) - np.log(c[k - 1])))
+            contour[i] = lg[k - 1] + t * (lg[k] - lg[k - 1])
+
+n_excl = int(np.isfinite(contour).sum())
+print(f"# 90% CL contour found in {n_excl}/{n_mphi} mphi columns")
+print("#  mphi [eV]        g_excl(90% CL)")
+rows = []
+for i in range(n_mphi):
+    if np.isfinite(contour[i]):
+        rows.append((mphi_vals[i], 10.0 ** contour[i]))
+        print(f"   {mphi_vals[i]:.4e}    {10.0 ** contour[i]:.4e}")
+
+if rows:
+    arr = np.array(rows)
+    j = int(np.argmin(arr[:, 1]))
+    print(f"# strongest exclusion: g > {arr[j, 1]:.3e} at "
+          f"mphi = {arr[j, 0]:.3e} eV (the resonance-crossing window)")
+if out_path and rows:
+    np.savetxt(out_path, np.array(rows),
+               header="mphi[eV]  g_excluded_90CL")
+    print(f"# contour written to {out_path}")
+
+# Production knobs for bigger grids:
+#   nu.sharded_grid_scan(params, cfg)             -> multi-chip mesh
+#   nu.checkpointed_grid_scan(params, cfg, path)  -> resumable chunks

@@ -45,6 +45,20 @@ def test_run_grid_scan():
     assert "deepest absorption" in out.stdout
 
 
+def test_run_exclusion(tmp_path):
+    out = _run("run_exclusion.py", "6", "8", str(tmp_path / "contour.txt"))
+    assert "scanning 48 (mphi, g) points" in out.stdout
+    assert "strongest exclusion" in out.stdout
+    arr = np.loadtxt(tmp_path / "contour.txt")
+    arr = np.atleast_2d(arr)
+    # most columns cross 90% CL in the resonance window; the contour is
+    # a physical exclusion boundary: tiny couplings, monotone cliff at
+    # the high-mphi end
+    assert arr.shape[0] >= 4 and arr.shape[1] == 2
+    assert (arr[:, 1] > 1e-12).all() and (arr[:, 1] < 1e-6).all()
+    assert arr[-1, 1] == arr[:, 1].max()  # cliff at the window edge
+
+
 def test_run_fit():
     out = _run("run_fit.py", "150")
     assert "recovered:" in out.stdout
