@@ -234,6 +234,28 @@ class TestKernelChannels:
 
 
 class TestEvolveWithPhiPhi:
+    def test_pp_jit_cached_per_config(self, small_tables):
+        """evolve(params, cfg, pp_tables=...) must reuse one jitted
+        program per Config — a fresh jit object per call would retrace
+        (and, on the tunneled TPU, recompile) every evolve."""
+        import dataclasses
+
+        from nusiprop_tpu.config import Config, PhysicsParams
+        from nusiprop_tpu.models import transport
+
+        transport._jitted_evolve_with_pp.cache_clear()
+        # rank1 is the march family that reaches the traced-pp-tables
+        # jit branch (staged configs consume pp_tables in build_tables)
+        cfg = Config(N_bins_E=16, lEmin=9, lEmax=14, non_resonant=False,
+                     phiphi=False, march="rank1", source="powerlaw")
+        p = PhysicsParams.create(6e5, 0.03, 0.1, 2.5, 1.0)
+        transport.evolve(p, cfg, pp_tables=small_tables)
+        transport.evolve(
+            dataclasses.replace(p, g=jnp.asarray(0.02)), cfg,
+            pp_tables=small_tables)
+        info = transport._jitted_evolve_with_pp.cache_info()
+        assert info.misses == 1 and info.hits == 1, info
+
     def test_end_to_end(self, small_tables):
         import nusiprop_tpu as nu
 
