@@ -10,7 +10,7 @@ per-step cross-device traffic (the points are independent; only the
 final gather of spectra moves data).
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -175,9 +175,14 @@ def sharded_grid_scan(params: PhysicsParams, cfg: Config,
             f"the grid (e.g. repeat the last point) to a multiple of {n_dev}")
     sharding = NamedSharding(mesh, P(axis_name))
     params = jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+    return _sharded_scan_jit(cfg, sharding)(params)
 
-    f = jax.jit(
+
+@lru_cache(maxsize=None)
+def _sharded_scan_jit(cfg: Config, sharding: NamedSharding):
+    # cached per (Config, sharding): a fresh jit object per call would
+    # retrace every sharded scan
+    return jax.jit(
         lambda p: jax.vmap(lambda q: transport.evolve_core(q, cfg))(p),
         in_shardings=(sharding,),
     )
-    return f(params)

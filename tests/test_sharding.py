@@ -66,6 +66,19 @@ def test_explicit_submesh(cfg, params16):
     assert len(res.flux_fla.sharding.device_set) == 4
 
 
+def test_sharded_scan_jit_cached(cfg, params16):
+    """Repeat sharded scans with the same (Config, sharding) must reuse
+    one jitted program instead of retracing per call."""
+    from nusiprop_tpu.parallel import scan as scan_mod
+
+    scan_mod._sharded_scan_jit.cache_clear()
+    sharded_grid_scan(params16, cfg)
+    sharded_grid_scan(
+        jax.tree.map(lambda x: x * (1.0 + 1e-12), params16), cfg)
+    info = scan_mod._sharded_scan_jit.cache_info()
+    assert info.misses == 1 and info.hits == 1, info
+
+
 def test_uneven_batch_raises(cfg):
     params = nu.param_grid(np.geomspace(1e5, 1e8, 5), [1e-6],
                            mntot=MNTOT, si=2.0, norm=6.0)  # 5 points, 8 devs
