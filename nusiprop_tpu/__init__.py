@@ -35,6 +35,7 @@ if _jax.config.jax_compilation_cache_dir is None:
 from nusiprop_tpu.api import Evolver, pyprop
 from nusiprop_tpu.models.sources import register_source
 from nusiprop_tpu.config import Config, PhysicsParams
+from nusiprop_tpu.models.diagnostics import KernelAudit, audit_kernels
 from nusiprop_tpu.models.mixing import flavor_coupling_to_Q
 from nusiprop_tpu.models.transport import (
     EvolveResult,
@@ -55,6 +56,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Evolver",
+    "KernelAudit",
+    "audit_kernels",
     "register_source",
     "evolve_general",
     "flavor_coupling_to_Q",
