@@ -1,8 +1,10 @@
 """ctypes binding to the native (CPU) cascade engine.
 
-``NativeEvolver`` exposes the s-channel-only engine compiled from
-``native/nusi_engine.hpp`` with (a subset of) the same API as the JAX
-``Evolver`` — the native twin of the reference's C++ public surface
+``NativeEvolver`` exposes the engine compiled from
+``native/nusi_engine.hpp`` (s-channel + the full non-resonant channel
+set of ``nusi_nr.hpp``; phi-phi excluded) with (a subset of) the same
+API as the JAX ``Evolver`` — the native twin of the reference's C++
+public surface
 (nuSIprop.hpp:61-68, 173-174). Uses: machines without an accelerator,
 independent cross-checks of the JAX engine, and the vs_baseline
 measurement. The shared library is built on demand with g++ (no
@@ -47,6 +49,7 @@ def _load():
                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int]
     lib.nusi_set_params.argtypes = [ctypes.c_void_p] + [ctypes.c_double] * 5
+    lib.nusi_set_non_resonant.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.nusi_evolve.argtypes = [ctypes.c_void_p]
     lib.nusi_n_bins.argtypes = [ctypes.c_void_p]
     lib.nusi_n_bins.restype = ctypes.c_int
@@ -62,22 +65,22 @@ def _load():
 
 
 class NativeEvolver:
-    """CPU-native evolver (s-channel-only kernels).
+    """CPU-native evolver (s-channel + full non-resonant channel set).
 
     Same constructor vocabulary as ``Evolver``; raises on options the
-    native engine does not implement (non_resonant/phiphi channels live
-    in the JAX engine only).
+    native engine does not implement (the phi-phi production channel
+    needs the interpolation tables and lives in the JAX engine only).
     """
 
     def __init__(self, mphi, g, mntot, si, norm=1.0, majorana=True,
                  non_resonant=False, normal_ordering=True, N_bins_E=300,
                  lEmin=12.0, lEmax=17.0, zmax=5.0, flav=2, phiphi=False,
                  source="dsnb"):
-        if non_resonant or phiphi:
+        if phiphi:
             raise NotImplementedError(
-                "the native engine implements the s-channel-only "
-                "configuration; use nusiprop_tpu.Evolver for "
-                "non_resonant/phiphi")
+                "the native engine excludes the phi-phi production "
+                "channel (spline tables); use nusiprop_tpu.Evolver for "
+                "phiphi")
         if source not in ("dsnb", "powerlaw"):
             raise ValueError(f"unknown source {source!r}")
         self._lib = _load()
@@ -85,6 +88,8 @@ class NativeEvolver:
             int(N_bins_E), float(lEmin), float(lEmax), float(zmax),
             int(flav), int(bool(majorana)), int(bool(normal_ordering)),
             int(source == "dsnb"))
+        if non_resonant:
+            self._lib.nusi_set_non_resonant(self._h, 1)
         self._n = int(N_bins_E)
         self.set_parameters(mphi=mphi, g=g, mntot=mntot, si=si, norm=norm)
         self.evolved = False

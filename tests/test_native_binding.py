@@ -70,7 +70,18 @@ def test_set_parameters_and_warning():
     assert not np.allclose(f1, nat.get_flux_fla())
 
 
+def test_non_resonant_matches_jax():
+    """The full non-resonant channel set through the ctypes binding
+    (nusi_nr.hpp) vs the JAX f64 path — test.cpp-style configuration."""
+    kw = dict(mphi=6e5, g=0.01, mntot=0.1, si=2.5, norm=1.0,
+              N_bins_E=60, lEmin=9, lEmax=14, zmax=5, flav=2,
+              non_resonant=True, phiphi=False, source="powerlaw")
+    nat = NativeEvolver(**kw).evolve()
+    jx = nu.Evolver(**kw).evolve()
+    assert _rel(nat.get_flux_fla(), jx.get_flux_fla()) < 1e-10
+
+
 def test_rejects_unimplemented():
     with pytest.raises(NotImplementedError):
         NativeEvolver(mphi=1e6, g=0.01, mntot=0.1, si=2.0,
-                      non_resonant=True)
+                      non_resonant=True, phiphi=True)
