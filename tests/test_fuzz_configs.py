@@ -23,6 +23,9 @@ N_DRAWS = 6
 
 def _draw(rng):
     non_resonant = bool(rng.integers(2))
+    # phi-phi production only acts alongside the non-resonant channels
+    # (reference gate nuSIprop.hpp:166-170); draw it there
+    phiphi = non_resonant and bool(rng.integers(2))
     lEmin = float(rng.uniform(4.0, 11.0))
     return dict(
         cfg=Config(
@@ -31,7 +34,7 @@ def _draw(rng):
             lEmax=lEmin + float(rng.uniform(2.0, 5.0)),
             zmax=float(rng.uniform(1.0, 5.0)),
             non_resonant=non_resonant,
-            phiphi=False,
+            phiphi=phiphi,
             majorana=bool(rng.integers(2)),
             normal_ordering=bool(rng.integers(2)),
             flav=int(rng.integers(3)),
@@ -52,11 +55,17 @@ def _draw(rng):
 def test_random_config_march_agreement(seed):
     d = _draw(np.random.default_rng(20250817 + seed))
     cfg, p = d["cfg"], d["params"]
+    ppt = None
+    if cfg.phiphi:
+        from nusiprop_tpu.models import pp_tables
 
-    oracle = np.asarray(transport.evolve(p, cfg).flux_fla)
+        ppt = pp_tables.load_default()
+
+    oracle = np.asarray(transport.evolve(p, cfg, pp_tables=ppt).flux_fla)
     fast_march = "trisolve" if cfg.non_resonant else "rank1"
     fast = np.asarray(transport.evolve(
-        p, dataclasses.replace(cfg, march=fast_march)).flux_fla)
+        p, dataclasses.replace(cfg, march=fast_march),
+        pp_tables=ppt).flux_fla)
 
     assert np.isfinite(oracle).all(), cfg
     assert (oracle >= 0.0).all(), cfg
