@@ -26,6 +26,38 @@ void nusi_set_non_resonant(void* h, int enable) {
   static_cast<nusi::Engine*>(h)->non_resonant = enable != 0;
 }
 
+void nusi_set_phiphi(void* h, int enable) {
+  static_cast<nusi::Engine*>(h)->phiphi = enable != 0;
+}
+
+// Load one phi-phi interpolation table (which: 0 = alphatilde 2-D,
+// 1 = alpha 3-D). nodes_cat / weights_cat are the per-axis node arrays
+// (already log-reparametrized where log_axes set) and (4, 4, n) weight
+// tensors from ops/interp.py, concatenated axis by axis; values is the
+// full C-order value array.
+void nusi_set_pp_table(void* h, int which, int ndim, const int* ns,
+                       const int* log_axes, const double* nodes_cat,
+                       const double* weights_cat, const double* values) {
+  auto* e = static_cast<nusi::Engine*>(h);
+  nusi::pp::Spline& s = which == 0 ? e->pp_at : e->pp_a;
+  s.ndim = ndim;
+  long nv = 1;
+  const double* np_ = nodes_cat;
+  const double* wp = weights_cat;
+  for (int i = 0; i < ndim; ++i) {
+    int n = ns[i];
+    s.nodes[i].assign(np_, np_ + n);
+    np_ += n;
+    s.W[i].assign(wp, wp + 16L * n);
+    wp += 16L * n;
+    s.logax[i] = log_axes[i];
+    nv *= n;
+  }
+  s.values.assign(values, values + nv);
+  s.finalize();
+  e->has_pp_tables = e->pp_at.ndim == 2 && e->pp_a.ndim == 3;
+}
+
 void nusi_set_params(void* h, double mphi, double g, double mntot, double si,
                      double norm) {
   auto* e = static_cast<nusi::Engine*>(h);

@@ -23,6 +23,7 @@
 #include <vector>
 
 #include "nusi_nr.hpp"
+#include "nusi_pp.hpp"
 
 namespace nusi {
 
@@ -157,7 +158,12 @@ struct Engine {
   bool majorana = true;
   bool normal_ordering = true;
   bool source_dsnb = true;  // true: fork's DSNB source; false: power-law
-  bool non_resonant = false;  // add t/u/tu/st/su channels (phiphi excluded)
+  bool non_resonant = false;  // add t/u/tu/st/su channels
+  bool phiphi = false;        // add double-scalar production (needs tables
+                              // for the interpolated region; analytic tails
+                              // degrade gracefully without them)
+  pp::Spline pp_at, pp_a;     // alphatilde (2-D) / alpha (3-D) tables
+  bool has_pp_tables = false;
 
   // grids
   int NZ = 0, NEXT = 0;
@@ -269,6 +275,7 @@ struct Engine {
       }
       double G = (g * g) / (32.0 * PI * Ga) * (g * g) * (core + Ga * logterm);
       if (non_resonant) G += nr::gamma_nr(sm, sp, g, gr, majorana);
+      if (non_resonant && phiphi) G += pp::gamma_pp(sm, sp, g, majorana);
       tot += Wsq[flav][j] / (2 * mn[j]) * G;
     }
     return tot;
@@ -299,6 +306,9 @@ struct Engine {
       double A = (g * g) / (16.0 * PI * Ga) * (g * g) * (core + Ga * logterm);
       if (!majorana) A /= 2.0;
       if (non_resonant) A += nr::alphatilde_nr(tm, tp, g, gr, majorana);
+      if (non_resonant && phiphi)
+        A += pp::alphatilde_pp(tm, tp, g, majorana,
+                               has_pp_tables ? &pp_at : nullptr);
       tot += Wsq[flav][k] / (2 * mn[k]) * A;
     }
     return tot;
@@ -326,6 +336,9 @@ struct Engine {
       double A = (g * g) / (8.0 * PI * Ga) * (g * g) * mphi * (tm - tp) * core;
       if (!majorana) A /= 2.0;
       if (non_resonant) A += nr::alpha_nr(tm, tp, smp, spp, g, gr, majorana);
+      if (non_resonant && phiphi)
+        A += pp::alpha_pp(tm, tp, smp, spp, g, majorana,
+                          has_pp_tables ? &pp_a : nullptr);
       tot += Wsq[flav][k] / (2 * mn[k]) * A;
     }
     return tot;

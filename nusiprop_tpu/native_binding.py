@@ -1,10 +1,11 @@
 """ctypes binding to the native (CPU) cascade engine.
 
 ``NativeEvolver`` exposes the engine compiled from
-``native/nusi_engine.hpp`` (s-channel + the full non-resonant channel
-set of ``nusi_nr.hpp``; phi-phi excluded) with (a subset of) the same
-API as the JAX ``Evolver`` — the native twin of the reference's C++
-public surface
+``native/nusi_engine.hpp`` (s-channel, the full non-resonant channel
+set of ``nusi_nr.hpp``, and phi-phi production via ``nusi_pp.hpp``,
+which consumes the same interpolation tables and precomputed spline
+weights as the JAX engine) with (a subset of) the same API as the JAX
+``Evolver`` — the native twin of the reference's C++ public surface
 (nuSIprop.hpp:61-68, 173-174). Uses: machines without an accelerator,
 independent cross-checks of the JAX engine, and the vs_baseline
 measurement. The shared library is built on demand with g++ (no
@@ -35,11 +36,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    src = _NATIVE_DIR / "nusi_capi.cpp"
-    hdr = _NATIVE_DIR / "nusi_engine.hpp"
+    srcs = [_NATIVE_DIR / n for n in ("nusi_capi.cpp", "nusi_engine.hpp",
+                                      "nusi_nr.hpp", "nusi_pp.hpp")]
     stale = (not _LIB_PATH.exists()
-             or _LIB_PATH.stat().st_mtime < max(src.stat().st_mtime,
-                                                hdr.stat().st_mtime))
+             or _LIB_PATH.stat().st_mtime < max(s.stat().st_mtime
+                                                for s in srcs))
     if stale:
         _build_lib()
     lib = ctypes.CDLL(str(_LIB_PATH))
@@ -50,6 +51,12 @@ def _load():
                                 ctypes.c_int]
     lib.nusi_set_params.argtypes = [ctypes.c_void_p] + [ctypes.c_double] * 5
     lib.nusi_set_non_resonant.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.nusi_set_phiphi.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    iptr = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    fptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    lib.nusi_set_pp_table.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, iptr, iptr, fptr, fptr,
+                                      fptr]
     lib.nusi_evolve.argtypes = [ctypes.c_void_p]
     lib.nusi_n_bins.argtypes = [ctypes.c_void_p]
     lib.nusi_n_bins.restype = ctypes.c_int
@@ -65,22 +72,15 @@ def _load():
 
 
 class NativeEvolver:
-    """CPU-native evolver (s-channel + full non-resonant channel set).
+    """CPU-native evolver: s-channel, non-resonant, and phi-phi channels.
 
-    Same constructor vocabulary as ``Evolver``; raises on options the
-    native engine does not implement (the phi-phi production channel
-    needs the interpolation tables and lives in the JAX engine only).
+    Same constructor vocabulary as ``Evolver``.
     """
 
     def __init__(self, mphi, g, mntot, si, norm=1.0, majorana=True,
                  non_resonant=False, normal_ordering=True, N_bins_E=300,
                  lEmin=12.0, lEmax=17.0, zmax=5.0, flav=2, phiphi=False,
                  source="dsnb"):
-        if phiphi:
-            raise NotImplementedError(
-                "the native engine excludes the phi-phi production "
-                "channel (spline tables); use nusiprop_tpu.Evolver for "
-                "phiphi")
         if source not in ("dsnb", "powerlaw"):
             raise ValueError(f"unknown source {source!r}")
         self._lib = _load()
@@ -90,9 +90,32 @@ class NativeEvolver:
             int(source == "dsnb"))
         if non_resonant:
             self._lib.nusi_set_non_resonant(self._h, 1)
+        if phiphi:
+            self._lib.nusi_set_phiphi(self._h, 1)
+        if phiphi and non_resonant:
+            # the same tables (and precomputed spline weight tensors) the
+            # JAX engine uses, marshalled once; like the reference, load
+            # only when the channel is active (nuSIprop.hpp:59, 166-170)
+            from nusiprop_tpu.models import pp_tables
+
+            ppt = pp_tables.load_default()
+            self._push_pp_table(0, ppt.alphatilde)
+            self._push_pp_table(1, ppt.alpha)
         self._n = int(N_bins_E)
         self.set_parameters(mphi=mphi, g=g, mntot=mntot, si=si, norm=norm)
         self.evolved = False
+
+    def _push_pp_table(self, which, spl):
+        ns = np.array([n.shape[0] for n in spl.nodes], dtype=np.int32)
+        logax = np.array([int(b) for b in spl.log_axes], dtype=np.int32)
+        nodes = np.concatenate(
+            [np.asarray(n, dtype=np.float64) for n in spl.nodes])
+        weights = np.concatenate(
+            [np.asarray(w, dtype=np.float64).ravel() for w in spl.weights])
+        values = np.ascontiguousarray(
+            np.asarray(spl.values, dtype=np.float64).ravel())
+        self._lib.nusi_set_pp_table(self._h, int(which), len(ns), ns, logax,
+                                    nodes, weights, values)
 
     def set_parameters(self, mphi=None, g=None, mntot=None, si=None,
                        norm=None):

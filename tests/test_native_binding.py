@@ -81,7 +81,16 @@ def test_non_resonant_matches_jax():
     assert _rel(nat.get_flux_fla(), jx.get_flux_fla()) < 1e-10
 
 
-def test_rejects_unimplemented():
-    with pytest.raises(NotImplementedError):
-        NativeEvolver(mphi=1e6, g=0.01, mntot=0.1, si=2.0,
-                      non_resonant=True, phiphi=True)
+def test_phiphi_matches_jax():
+    """The phi-phi channel through the ctypes binding (nusi_pp.hpp, the
+    same spline tables + precomputed weights the JAX engine uses) vs
+    the JAX f64 path."""
+    kw = dict(mphi=6e5, g=0.03, mntot=0.1, si=2.5, norm=1.0,
+              N_bins_E=32, lEmin=9, lEmax=14, zmax=5, flav=2,
+              non_resonant=True, phiphi=True, source="powerlaw")
+    nat = NativeEvolver(**kw).evolve()
+    jx = nu.Evolver(**kw).evolve()
+    assert _rel(nat.get_flux_fla(), jx.get_flux_fla()) < 1e-10
+    # and the channel contributes: without it the flux differs
+    no_pp = NativeEvolver(**{**kw, "phiphi": False}).evolve()
+    assert _rel(no_pp.get_flux_fla(), jx.get_flux_fla()) > 1e-3
