@@ -83,6 +83,13 @@ class NativeEvolver:
                  source="dsnb"):
         if source not in ("dsnb", "powerlaw"):
             raise ValueError(f"unknown source {source!r}")
+        from nusiprop_tpu.config import Config
+
+        self._config = Config(
+            majorana=bool(majorana), non_resonant=bool(non_resonant),
+            normal_ordering=bool(normal_ordering), N_bins_E=int(N_bins_E),
+            lEmin=float(lEmin), lEmax=float(lEmax), zmax=float(zmax),
+            flav=int(flav), phiphi=bool(phiphi), source=source)
         self._lib = _load()
         self._h = self._lib.nusi_create(
             int(N_bins_E), float(lEmin), float(lEmax), float(zmax),
@@ -157,6 +164,46 @@ class NativeEvolver:
 
     def get_flux_fla(self):
         return self._get(self._lib.nusi_get_flux_fla)
+
+    def check_energy_conservation(self):
+        """(E_int - E_FS)/E_FS; evolves as a side effect, one evolve per
+        call. Like the reference fork, E_FS uses the power-law source
+        forms regardless of the active source (nuSIprop.hpp:339-357)."""
+        from nusiprop_tpu.models import grids, sources
+
+        gr = grids.build(self._config)
+        si, norm = self._params["si"], self._params["norm"]
+        norm_total = norm / float(sources.flux_fs_e0(si, gr.zmax_eff))
+        E_FS = float(sources.energy_fs(self._config.lEmin,
+                                       self._config.lEmax, si, norm_total,
+                                       gr.zmax_eff))
+        self.evolve()
+        flux = self.get_flux()
+        logw = np.log(np.asarray(gr.Emax)) - np.log(np.asarray(gr.Emin))
+        E_int = float(np.sum(logw[None, :] * np.asarray(gr.E_nu)[None, :] ** 2
+                             * flux))
+        return (E_int - E_FS) / E_FS
+
+    def _interp_flux(self, row, energy):
+        E = self.get_energies()
+        fla = self.get_flux_fla()[row]
+        si = self._params["si"]
+        energy = np.asarray(energy)
+        if np.any(energy < E[0]) or np.any(energy > E[-1]):
+            raise ValueError(
+                f"energy outside the interpolation range "
+                f"[{E[0]:.6g}, {E[-1]:.6g}] eV")
+        return np.interp(np.log10(energy), np.log10(E),
+                         fla * E ** si) / energy ** si
+
+    def interp_flux_el(self, energy):
+        return self._interp_flux(0, energy)
+
+    def interp_flux_mu(self, energy):
+        return self._interp_flux(1, energy)
+
+    def interp_flux_ta(self, energy):
+        return self._interp_flux(2, energy)
 
     def __del__(self):
         h = getattr(self, "_h", None)

@@ -81,6 +81,22 @@ def test_non_resonant_matches_jax():
     assert _rel(nat.get_flux_fla(), jx.get_flux_fla()) < 1e-10
 
 
+def test_energy_conservation_and_interp_match_jax():
+    """The Python-side API completions (check_energy_conservation,
+    interp_flux_*) agree with the JAX Evolver on the golden config."""
+    nat = NativeEvolver(source="dsnb", **GOLDEN_KW)
+    jx = nu.Evolver(source="dsnb", **GOLDEN_KW)
+    d_nat = nat.check_energy_conservation()
+    d_jx = jx.check_energy_conservation()
+    assert abs(d_nat - d_jx) < 1e-6 * max(1.0, abs(d_jx))
+    E = nat.get_energies()
+    probe = np.geomspace(E[0], E[-1], 17)
+    np.testing.assert_allclose(nat.interp_flux_mu(probe),
+                               jx.interp_flux_mu(probe), rtol=1e-6)
+    with pytest.raises(ValueError, match="outside"):
+        nat.interp_flux_el(E[0] * 0.5)
+
+
 def test_phiphi_matches_jax():
     """The phi-phi channel through the ctypes binding (nusi_pp.hpp, the
     same spline tables + precomputed weights the JAX engine uses) vs
