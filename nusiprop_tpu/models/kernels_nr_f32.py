@@ -171,7 +171,7 @@ def _x_res_integral(hs, vm, vp, vsum, ds, gr, inv_gr, near):
 
 
 def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
-                    raw: bool = False):
+                    raw: bool = False, width_factor=None):
     """Non-resonant alpha table (s + t/u + tu + st/su channels) in
     native float32.
 
@@ -181,11 +181,18 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
     g^4 prefactor — for the native-f32 trisolve march, which folds the
     prefactor into its range-safe per-node row scales.
 
+    ``Wf=None`` skips the |U|^2 eigenstate reduction and returns the
+    per-state (3, N, N) f64 table (kernels.alpha_table per_state
+    contract — general non-diagonal couplings); ``width_factor`` scales
+    the scalar width by sum(Q) there (evolve_general).
+
     Matches kernels.alpha_table(..., non_resonant=True, phiphi=False)
     to f32 round-off; the phi-phi channel is added separately by the
     caller (transport.build_tables) in f64 when enabled.
     """
     ga = scalar_width(g, mphi, majorana)
+    if width_factor is not None:
+        ga = ga * width_factor
     N = Em.shape[0]
     rows, cols = _np.triu_indices(N, k=1)
     rows = jnp.asarray(rows)
@@ -375,10 +382,14 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
     tot = nr_sum + ch_s
 
     # ---- eigenstate reduction and assembly ----
-    w_e = f(Wf[:, None] / (2.0 * mn_c))
-    res32 = jnp.sum(w_e * tot, axis=0)  # (NT,) f32, normalized by g^4
     g64 = jnp.asarray(g, jnp.float64)
     pref = (g64 * g64) * (g64 * g64)
+    if Wf is None:  # per-state (3, N, N) for general couplings
+        res_s = (f(1.0 / (2.0 * mn_c)) * tot).astype(jnp.float64) * pref
+        out = jnp.zeros((3, N, N), dtype=jnp.float64)
+        return out.at[:, rows, cols].set(res_s)
+    w_e = f(Wf[:, None] / (2.0 * mn_c))
+    res32 = jnp.sum(w_e * tot, axis=0)  # (NT,) f32, normalized by g^4
     if raw:
         out32 = jnp.zeros((N, N), dtype=F32)
         return out32.at[rows, cols].set(res32), pref

@@ -476,7 +476,7 @@ def _channels(cfg: Config):
     return tuple(ch)
 
 
-def _use_f32_alpha(cfg: Config) -> bool:
+def _use_f32_alpha(cfg: Config, allow_f32_march: bool = False) -> bool:
     """Whether the non-resonant alpha table uses the native-f32
     quadrature build (kernels_nr_f32) instead of the f64 closed forms.
 
@@ -491,7 +491,9 @@ def _use_f32_alpha(cfg: Config) -> bool:
     """
     if not cfg.non_resonant or cfg.table_dtype == "f64":
         return False
-    if _resolve_march(cfg) != "trisolve":
+    ok_marches = (("trisolve", "trisolve_f32") if allow_f32_march
+                  else ("trisolve",))
+    if _resolve_march(cfg) not in ok_marches:
         return False
     if cfg.table_dtype == "f32":
         return True
@@ -505,19 +507,25 @@ def _use_f32_alpha(cfg: Config) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _alpha_f32_builder_jit(cfg: Config, batched: bool, raw: bool = False):
+def _alpha_f32_builder_jit(cfg: Config, batched: bool, raw: bool = False,
+                           per_state: bool = False):
     from nusiprop_tpu.models import kernels_nr_f32
 
-    def build(params):
+    def build(params, *wf_arg):
+        # width_factor threaded ONLY for per_state (general-coupling)
+        # builds, like _channel_builder_jit: keeps the diagonal
+        # program's persistent-compile-cache entries stable.
         gr = grids.build(cfg)
-        Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+        Wf = (None if per_state
+              else jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav])
         mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+        kw = {"width_factor": wf_arg[0]} if per_state else {}
         return kernels_nr_f32.alpha_table_f32(
             gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
-            majorana=cfg.majorana, raw=raw)
+            majorana=cfg.majorana, raw=raw, **kw)
 
     if batched:
-        build = jax.vmap(build)
+        build = jax.vmap(build, in_axes=(0, None) if per_state else (0,))
     return jax.jit(build)
 
 
@@ -568,7 +576,10 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
     """
     args = ((jnp.asarray(width_factor, dtype=jnp.float64),) if per_state
             else ())
-    use_f32_alpha = not per_state and _use_f32_alpha(cfg)
+    # per_state (general couplings) has no f32 march, but the f32
+    # quadrature table build still applies whenever the all-f32
+    # conditions hold (incl. when auto would resolve to trisolve_f32)
+    use_f32_alpha = _use_f32_alpha(cfg, allow_f32_march=per_state)
     use_f32_march = not per_state and _resolve_march(cfg) == "trisolve_f32"
     out = []
     for table in ("gamma", "alphatilde", "alpha"):
@@ -586,7 +597,8 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
         if table == "alpha" and use_f32_alpha:
             # native-f32 quadrature build covers s+t_u+tu+st in one
             # cheap program; only the spline-backed pp channel stays f64
-            acc = _alpha_f32_builder_jit(cfg, batched)(params)
+            acc = _alpha_f32_builder_jit(cfg, batched,
+                                         per_state=per_state)(params, *args)
             if cfg.phiphi:
                 acc = acc + _channel_builder_jit(
                     cfg, table, "pp", batched, per_state)(

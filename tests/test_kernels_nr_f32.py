@@ -225,6 +225,50 @@ def test_build_tables_integration_forced_f32():
     np.testing.assert_allclose(np.asarray(res.flux_fla)[0], r32, rtol=1e-12)
 
 
+def test_per_state_f32_table_matches_f64_clean_regime():
+    """Wf=None (general-coupling per-state contract): the f32 quadrature
+    build matches the per-state f64 closed forms where those are
+    healthy, including a width_factor (sum Q) scaling."""
+    mphi, g, maj, nb, lo, hi, mntot = HIGH_E_MAJ
+    cfg, gr, Wf, mn = _setup(*HIGH_E_MAJ)
+    for wf in (None, 2.5):
+        kw64 = dict(majorana=maj, non_resonant=True, phiphi=False,
+                    width_factor=wf)
+        a64 = np.asarray(kernels.alpha_table(
+            gr.Emin_ext, gr.Emax_ext, mn, g, mphi, None, **kw64))
+        a32 = np.asarray(kernels_nr_f32.alpha_table_f32(
+            gr.Emin_ext, gr.Emax_ext, mn, g, mphi, None, majorana=maj,
+            width_factor=wf))
+        assert a64.shape == a32.shape == (3,) + (a64.shape[1],) * 2
+        pk = np.abs(a64).max()
+        mask = np.abs(a64) > pk * 1e-6
+        rel = np.max(np.abs(a32 - a64)[mask] / np.abs(a64)[mask])
+        assert rel < 2e-6, (wf, rel)
+
+
+def test_evolve_general_with_f32_tables():
+    """evolve_general picks up the per-state f32 quadrature build under
+    table_dtype='f32' and agrees with the f64 build."""
+    import dataclasses
+
+    import nusiprop_tpu as nu
+
+    mphi, g, maj, nb, lo, hi, mntot = HIGH_E_MAJ
+    G = np.zeros((3, 3))
+    G[1, 1], G[2, 2] = 0.5, 1.0
+    Q = nu.flavor_coupling_to_Q(G)
+    cfg64 = Config(N_bins_E=nb, lEmin=lo, lEmax=hi, non_resonant=True,
+                   phiphi=False, majorana=maj, table_dtype="f64",
+                   source="powerlaw")
+    cfg32 = dataclasses.replace(cfg64, table_dtype="f32")
+    p = PhysicsParams.create(mphi, g, mntot, 2.5, 1.0)
+    f64 = np.asarray(transport.evolve_general(p, Q, cfg64).flux_fla)
+    f32 = np.asarray(transport.evolve_general(p, Q, cfg32).flux_fla)
+    pk = np.abs(f64).max()
+    gate = np.abs(f64) > pk * 1e-10
+    assert np.max(np.abs(f32 - f64)[gate] / np.abs(f64)[gate]) < 1e-4
+
+
 def test_config_validation_f32_trisolve():
     Config(non_resonant=True, march="trisolve", table_dtype="f32",
            phiphi=False)  # ok
