@@ -21,6 +21,13 @@
 // --non-resonant switches to the reference's default channel set
 // (t/u/tu/st/su added, phiphi off; full O(NE^2)-per-step regeneration
 // sum, nuSIprop.hpp:285-291) at the test.cpp-style parameter point.
+//
+// Physics-parameter overrides (applied after the presets above, so they
+// compose with --non-resonant) let tests drive the twin at arbitrary
+// configurations — e.g. the reference-binary fixture battery
+// (tests/test_reference_binary.py):
+//   --mphi X --g X --mntot X --si X --norm X --flav N
+//   --dirac (majorana=false)  --io (inverted ordering)  --dsnb (DSNB source)
 
 #include <chrono>
 #include <cstdio>
@@ -53,6 +60,18 @@ int main(int argc, char** argv) {
     // parameter-independent, one representative point suffices)
     e.g = 1e-3; e.mphi = 1e6; e.si = 2.0; e.norm = 6.0;
     e.source_dsnb = true;
+  }
+  for (int a = 6; a < argc; ++a) {
+    auto val = [&](void) { return std::atof(argv[++a]); };
+    if (std::strcmp(argv[a], "--mphi") == 0) e.mphi = val();
+    else if (std::strcmp(argv[a], "--g") == 0) e.g = val();
+    else if (std::strcmp(argv[a], "--mntot") == 0) e.mntot = val();
+    else if (std::strcmp(argv[a], "--si") == 0) e.si = val();
+    else if (std::strcmp(argv[a], "--norm") == 0) e.norm = val();
+    else if (std::strcmp(argv[a], "--flav") == 0) e.flav = (int)val();
+    else if (std::strcmp(argv[a], "--dirac") == 0) e.majorana = false;
+    else if (std::strcmp(argv[a], "--io") == 0) e.normal_ordering = false;
+    else if (std::strcmp(argv[a], "--dsnb") == 0) e.source_dsnb = true;
   }
   e.setup_grids();
 
