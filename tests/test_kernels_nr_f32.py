@@ -100,12 +100,18 @@ HIGH_E_MAJ = (6e5, 1e-2, True, 150, 9.0, 14.0, 0.1)      # resonance in-grid
 HIGH_E_DIR = (6e5, 1e-2, False, 150, 9.0, 14.0, 0.1)
 GOLDEN_NR = (5e6, 1e-3, True, 150, 4.0, 9.0, MNTOT)      # sub-resonance
 STRONG_SUB = (1e6, 1e-2, True, 150, 4.0, 9.0, MNTOT)     # f64-noise regime
+# refbin nr_mphi3e3 point (tests/test_refbin_golden.py): g=0.3 drives the
+# closed forms' sub-resonance cancellation noise to ~4e-2 at the low-E
+# corner entries — the f32 quadrature build must stay referee-exact there
+# (it does, ~1e-7), which is WHY the refbin f32 NR gate is bounded by the
+# reference's own noise rather than ours.
+REFBIN_NR = (3e3, 0.3, True, 100, 4.0, 9.0, 0.1)
 
 
 @pytest.mark.parametrize("case", [HIGH_E_MAJ, HIGH_E_DIR, GOLDEN_NR,
-                                  STRONG_SUB],
+                                  STRONG_SUB, REFBIN_NR],
                          ids=["highE-maj", "highE-dirac", "golden-nr",
-                              "strong-sub"])
+                              "strong-sub", "refbin-nr"])
 def test_sampled_entries_vs_scipy_referee(case):
     mphi, g, maj, nb, lo, hi, mntot = case
     cfg, gr, Wf, mn = _setup(*case)
