@@ -65,6 +65,18 @@ CASES = {
     "nr_mphi3e3": (dict(non_resonant=True, g=0.3), 1e-5, 2e-2),
 }
 
+# phi-phi production on top of the strong-coupling non-resonant point: the
+# reference ran with OUR generated full-resolution spline tables
+# (make_tables.py --preset full --bin-dir, fed through its own
+# interp.hpp loader — the shapes are hardcoded at nuSIprop.hpp:168-169).
+# The committed engine ships the medium-resolution tables, so the gates
+# absorb the measured medium-vs-full interpolation delta alongside the
+# reference's closed-form noise (the nr_mphi3e3 envelope).
+PP_CASE = "pp_mphi3e3"
+if (REFBIN / f"{PP_CASE}.txt").exists():
+    CASES[PP_CASE] = (
+        dict(non_resonant=True, g=0.3, phiphi=True), 2e-2, 2e-2)
+
 PHYSICS_GATE = 1e-3  # BASELINE.json per-bin acceptance
 
 
@@ -79,7 +91,7 @@ def _evolve(name: str, table_dtype: str):
         flav=deltas.get("flav", 2),
         majorana=deltas.get("majorana", True),
         normal_ordering=deltas.get("normal_ordering", True),
-        non_resonant=non_resonant, phiphi=False,
+        non_resonant=non_resonant, phiphi=deltas.get("phiphi", False),
         march=march, table_dtype=table_dtype,
     )
     p = PhysicsParams.create(3e3, g, 0.1, 2.0, 6.0)

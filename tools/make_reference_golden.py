@@ -59,8 +59,12 @@ BATTERY = {
 }
 
 # phi-phi production on top of the strong-coupling point; requires the
-# full-resolution tables (the reference hardcodes their shapes).
-PHIPHI_CASE = ("pp_mphi3e3", "3e3 0.3 0.1 2.0 6 1 0 1 100 4 9 5 2 1")
+# full-resolution tables (the reference hardcodes their shapes,
+# nuSIprop.hpp:168-169). non_resonant MUST be 1: the reference skips all
+# non-s channels — including phi-phi — when non_resonant is false
+# (nuSIprop.hpp:793,972,1277), and only loads the splines under
+# non_resonant && phiphi (:166).
+PHIPHI_CASE = ("pp_mphi3e3", "3e3 0.3 0.1 2.0 6 1 1 1 100 4 9 5 2 1")
 
 
 def build(ref: pathlib.Path, exe: pathlib.Path) -> None:
