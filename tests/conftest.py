@@ -21,3 +21,11 @@ import jax
 # long as no backend has been initialized yet).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# No persistent compilation cache under pytest: the harness's hosts vary
+# between sessions (and its remote-compile hook targets the compile
+# server's ISA), so cached XLA:CPU AOT executables can carry machine
+# features this host lacks — observed as cpu_aot_loader feature-mismatch
+# warnings and intermittent SIGABRTs inside cache writes during full-suite
+# runs. CPU test compiles are cheap; correctness beats cache warmth here.
+jax.config.update("jax_enable_compilation_cache", False)

@@ -15,8 +15,10 @@ import json
 import pathlib
 import platform
 import subprocess
+import sys
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
 SRC = ROOT / "native" / "serial_baseline.cpp"
 BIN = ROOT / "native" / "serial_baseline"
 
@@ -28,6 +30,33 @@ def build():
         check=True)
 
 
+def measure_phiphi(bins, lEmin, lEmax, zmax, reps):
+    """Serial C++ NR + phi-phi evolve at the NR bench point.
+
+    Driven through the ctypes binding because the pp spline weight
+    tensors are marshalled from Python (native_binding._push_pp_table);
+    the timed evolve itself is the same single-thread C++ engine the
+    other denominators use (table push happens once, in the ctor).
+    """
+    import time
+
+    from nusiprop_tpu.native_binding import NativeEvolver
+
+    ev = NativeEvolver(1e6, 1e-3, 0.1, 2.0, norm=6.0, non_resonant=True,
+                       phiphi=True, N_bins_E=bins, lEmin=lEmin, lEmax=lEmax,
+                       zmax=zmax, source="dsnb")
+    nz = ev.n_steps_z if hasattr(ev, "n_steps_z") else None
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ev.evolve()
+        best = min(best, time.perf_counter() - t0)
+    if nz is None:
+        nz = int(ev._lib.nusi_n_steps_z(ev._h))
+    return {"wall_sec_per_evolve": round(best, 6),
+            "zsteps_per_sec": round((nz - 1) / best, 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bins", type=int, default=500)
@@ -35,7 +64,24 @@ def main():
     ap.add_argument("--lEmax", type=float, default=9.0)
     ap.add_argument("--zmax", type=float, default=5.0)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--only-phiphi", action="store_true",
+                    help="merge just the phi-phi keys into the existing "
+                         "BASELINE_MEASURED.json (keeps the min-wall "
+                         "s-channel/NR numbers already recorded)")
     args = ap.parse_args()
+
+    out_path = ROOT / "BASELINE_MEASURED.json"
+    if args.only_phiphi:
+        payload = json.loads(out_path.read_text())
+        res_pp = measure_phiphi(args.bins, args.lEmin, args.lEmax,
+                                args.zmax, max(2, args.reps // 2))
+        payload["serial_cpp_wall_sec_per_evolve_phiphi"] = (
+            res_pp["wall_sec_per_evolve"])
+        payload["serial_cpp_zsteps_per_sec_500bins_phiphi"] = (
+            res_pp["zsteps_per_sec"])
+        out_path.write_text(json.dumps(payload, indent=2) + "\n")
+        print(json.dumps(payload, indent=2))
+        return
 
     if not BIN.exists() or BIN.stat().st_mtime < SRC.stat().st_mtime:
         build()
@@ -52,6 +98,9 @@ def main():
          str(args.zmax), str(max(2, args.reps // 2)), "--non-resonant"],
         check=True, capture_output=True, text=True).stdout
     res_nr = json.loads(out_nr)
+    # phi-phi on top of the NR channel set (spline-table kernels)
+    res_pp = measure_phiphi(args.bins, args.lEmin, args.lEmax, args.zmax,
+                            max(2, args.reps // 2))
 
     payload = {
         "description": (
@@ -74,9 +123,12 @@ def main():
             res_nr["wall_sec_per_evolve"],
         "serial_cpp_zsteps_per_sec_500bins_nonresonant":
             res_nr["zsteps_per_sec"],
+        "serial_cpp_wall_sec_per_evolve_phiphi":
+            res_pp["wall_sec_per_evolve"],
+        "serial_cpp_zsteps_per_sec_500bins_phiphi":
+            res_pp["zsteps_per_sec"],
         "host": platform.platform(),
     }
-    out_path = ROOT / "BASELINE_MEASURED.json"
     out_path.write_text(json.dumps(payload, indent=2) + "\n")
     print(json.dumps(payload, indent=2))
 
