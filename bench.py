@@ -14,7 +14,10 @@ cannot be mistaken for "the engine is Nx everywhere":
   * ``s_channel_f64``  — the emulated-f64 rank1 march (true-f64-faithful);
   * ``non_resonant``   — the reference's DEFAULT channel set
     (non_resonant=true): f32 quadrature alpha table + f64 Gamma/alphaTilde
-    + trisolve march.
+    + trisolve march;
+  * ``phiphi``         — the reference's FULL channel set (non_resonant +
+    the nu nu -> phi phi production channel via the interpolation tables,
+    nuSIprop.hpp:166-170), against the phi-phi serial-C++ denominator.
 
 vs_baseline divides by the measured serial C++ re-implementation of the
 same algorithm (-O3, single thread; the reference itself compiles
@@ -24,8 +27,9 @@ non-resonant denominators. Until that file exists, vs_baseline is 0.0.
 
 Env knobs: BENCH_NON_RESONANT=1 makes the NR regime the headline;
 BENCH_F32=0 forces the emulated-f64 march as headline;
-BENCH_SECONDARY=0 skips the secondary regimes; BENCH_BATCH/BENCH_REPS/
-BENCH_NR_BATCH/BENCH_UNROLL/BENCH_PALLAS as named.
+BENCH_SECONDARY=0 skips the secondary regimes; BENCH_PHIPHI=0 skips the
+phi-phi regime; BENCH_BATCH/BENCH_REPS/BENCH_NR_BATCH/BENCH_PP_BATCH/
+BENCH_UNROLL/BENCH_PALLAS as named.
 """
 
 import json
@@ -38,12 +42,15 @@ import numpy as np
 MNTOT = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
 
 
-def _cfg(non_resonant, march, unroll=1):
+def _cfg(non_resonant, march, unroll=1, phiphi=False):
     from nusiprop_tpu.config import Config
 
+    # BENCH_BINS exists for cheap smoke tests of the bench plumbing;
+    # the recorded metric is always the 500-bin point.
     return Config(
-        N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
-        non_resonant=non_resonant, phiphi=False,
+        N_bins_E=int(os.environ.get("BENCH_BINS", "500")),
+        lEmin=4.0, lEmax=9.0, zmax=5.0,
+        non_resonant=non_resonant, phiphi=phiphi,
         march=march, march_unroll=unroll,
     )
 
@@ -105,6 +112,10 @@ def _provision_backend():
 
     if os.environ.get("BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+        # XLA:CPU AOT executables are host-ISA-specific; a cache written
+        # on a different host SIGABRTs/SIGILLs on load (same hazard the
+        # test conftest guards against). TPU executables are unaffected.
+        jax.config.update("jax_enable_compilation_cache", False)
         return jax.devices()
 
     deadline = time.time() + float(os.environ.get("BENCH_INIT_WAIT", "900"))
@@ -191,26 +202,45 @@ def main():
     if baseline_file.exists():
         base = json.loads(baseline_file.read_text())
 
-    def vs(zsps_val, non_resonant):
-        key = ("serial_cpp_zsteps_per_sec_500bins_nonresonant"
-               if non_resonant else "serial_cpp_zsteps_per_sec_500bins")
-        denom = base.get(key)
+    def vs(zsps_val, baseline_key):
+        denom = base.get(baseline_key)
         return round(zsps_val / denom, 3) if denom else 0.0
+
+    KEY_S = "serial_cpp_zsteps_per_sec_500bins"
+    KEY_NR = "serial_cpp_zsteps_per_sec_500bins_nonresonant"
+    KEY_PP = "serial_cpp_zsteps_per_sec_500bins_phiphi"
 
     secondary = {}
     if bool(int(os.environ.get("BENCH_SECONDARY", "1"))):
         regimes = []
         if not nr_headline:
             regimes.append(("non_resonant", _cfg(True, "auto"), nr_batch,
-                            1e-3, True))
+                            1e-3, KEY_NR, None))
+        if bool(int(os.environ.get("BENCH_PHIPHI", "1"))):
+            # The reference's full channel set: non_resonant + the
+            # nu nu -> phi phi production channel via the interpolation
+            # tables (nuSIprop.hpp:166-170). Baseline denominator is the
+            # serial C++ engine driven with the same medium-resolution
+            # spline tables (measure_baseline.py --only-phiphi).
+            import nusiprop_tpu as nu
+            from nusiprop_tpu.models import pp_tables as _ppt
+
+            _tables = _ppt.load_default()
+            _pp_run = lambda cfg: (
+                lambda p: nu.grid_scan(p, cfg, pp_tables=_tables).flux)
+            regimes.append(("phiphi", _cfg(True, "auto", phiphi=True),
+                            int(os.environ.get("BENCH_PP_BATCH",
+                                               str(nr_batch))),
+                            1e-3, KEY_PP, _pp_run))
         regimes.append(("s_channel_f64", _cfg(False, "rank1"), 256, 1e-2,
-                        False))
-        for name, rcfg, rbatch, rg, rnr in regimes:
+                        KEY_S, None))
+        for name, rcfg, rbatch, rg, rkey, rrun in regimes:
             try:
-                rz, rwall = _time_regime(rcfg, rbatch, rg, max(1, reps - 1))
+                rz, rwall = _time_regime(rcfg, rbatch, rg, max(1, reps - 1),
+                                         run=rrun(rcfg) if rrun else None)
                 secondary[name] = {
                     "zsteps_per_sec": round(rz, 3),
-                    "vs_baseline": vs(rz, rnr),
+                    "vs_baseline": vs(rz, rkey),
                     "batch": rbatch,
                     "march": _resolve_march(rcfg),
                 }
@@ -223,7 +253,7 @@ def main():
                 "metric": "redshift-steps/sec at 500 energy bins",
                 "value": round(zsps, 3),
                 "unit": "z-steps/sec",
-                "vs_baseline": vs(zsps, nr_headline),
+                "vs_baseline": vs(zsps, KEY_NR if nr_headline else KEY_S),
                 "batch": batch,
                 "wall_sec_per_batch": round(wall, 4),
                 "device": str(jax.devices()[0]),

@@ -95,7 +95,15 @@ def _evolve(name: str, table_dtype: str):
         march=march, table_dtype=table_dtype,
     )
     p = PhysicsParams.create(3e3, g, 0.1, 2.0, 6.0)
-    return transport.evolve(p, cfg)
+    pp = None
+    if cfg.phiphi:
+        # the reference ran with the full-resolution splines; the engine
+        # ships medium — the case gates absorb the measured medium-vs-full
+        # delta (1.5e-5, BENCH_NOTES) on top of the nr noise envelope
+        from nusiprop_tpu.models import pp_tables as _ppt
+
+        pp = _ppt.load_default()
+    return transport.evolve(p, cfg, pp_tables=pp)
 
 
 @pytest.fixture(scope="module")
