@@ -155,12 +155,16 @@ def checkpointed_grid_scan(params: PhysicsParams, cfg: Config, path,
 
 
 def sharded_grid_scan(params: PhysicsParams, cfg: Config,
-                      mesh: Mesh | None = None, axis_name: str = "batch"):
+                      mesh: Mesh | None = None, axis_name: str = "batch",
+                      pp_tables=None):
     """Shard the parameter batch across a device mesh and evolve.
 
     Each device evolves its shard of scan points; results come back with
     the same sharding (gather happens only if the caller materializes the
-    full array). Batch size must divide the mesh size.
+    full array). Batch size must divide the mesh size. pp_tables (the
+    phi-phi interpolation tables, nuSIprop.hpp:166-170) are replicated
+    onto every device — they are read-only gather sources, so replication
+    costs one broadcast and no per-step traffic.
     """
     if mesh is None:
         import numpy as np
@@ -175,7 +179,12 @@ def sharded_grid_scan(params: PhysicsParams, cfg: Config,
             f"the grid (e.g. repeat the last point) to a multiple of {n_dev}")
     sharding = NamedSharding(mesh, P(axis_name))
     params = jax.tree.map(lambda x: jax.device_put(x, sharding), params)
-    return _sharded_scan_jit(cfg, sharding)(params)
+    if pp_tables is None:
+        return _sharded_scan_jit(cfg, sharding)(params)
+    replicated = NamedSharding(mesh, P())
+    pp_tables = jax.tree.map(lambda x: jax.device_put(x, replicated),
+                             pp_tables)
+    return _sharded_scan_pp_jit(cfg, sharding, replicated)(params, pp_tables)
 
 
 @lru_cache(maxsize=None)
@@ -185,4 +194,14 @@ def _sharded_scan_jit(cfg: Config, sharding: NamedSharding):
     return jax.jit(
         lambda p: jax.vmap(lambda q: transport.evolve_core(q, cfg))(p),
         in_shardings=(sharding,),
+    )
+
+
+@lru_cache(maxsize=None)
+def _sharded_scan_pp_jit(cfg: Config, sharding: NamedSharding,
+                         replicated: NamedSharding):
+    return jax.jit(
+        lambda p, t: jax.vmap(
+            lambda q: transport.evolve_core(q, cfg, pp_tables=t))(p),
+        in_shardings=(sharding, replicated),
     )

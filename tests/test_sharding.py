@@ -99,6 +99,33 @@ def test_presharded_input_respected(cfg, params16):
                                np.asarray(ref.flux_fla), rtol=1e-12)
 
 
+def test_phiphi_sharded_matches_unsharded():
+    """The FULL reference channel set (non_resonant + spline-backed
+    phi-phi production) under mesh sharding: the interpolation tables are
+    replicated onto every device, the batch is sharded, and the result
+    must equal the unsharded table-fed grid_scan. Config is the battery's
+    phi-phi point (high-energy window, where the spline-backed channel
+    visibly moves the flux — asserted below, so a silent failure to
+    thread the tables through the sharded path cannot pass)."""
+    from nusiprop_tpu.models import pp_tables as ppt
+
+    cfg = Config(N_bins_E=24, lEmin=9.0, lEmax=14.0, non_resonant=True,
+                 phiphi=True, march="trisolve", source="powerlaw")
+    tables = ppt.load_default()
+    params = nu.param_grid(np.geomspace(2e5, 2e6, 8), [1e-3],
+                           mntot=0.1, si=2.5, norm=1.0)
+    ref = np.asarray(nu.grid_scan(params, cfg, pp_tables=tables).flux_fla)
+    taylor = np.asarray(nu.grid_scan(params, cfg).flux_fla)
+    # the tables must matter at this config, else the equality below
+    # could not detect dropped-table plumbing
+    assert np.max(np.abs(ref - taylor) / np.abs(ref)) > 1e-6
+    res = np.asarray(
+        sharded_grid_scan(params, cfg, pp_tables=tables).flux_fla)
+    # per-shard batch shapes change XLA's fusion/reduction association;
+    # measured cross-shard reassociation is ~2.6e-12
+    np.testing.assert_allclose(res, ref, rtol=1e-10)
+
+
 def test_nonresonant_f32_march_sharded_matches_unsharded():
     """The native-f32 non-resonant march (the TPU production path for
     the reference's default channel set) under mesh sharding: each
