@@ -74,8 +74,12 @@ CASES = {
 # reference's closed-form noise (the nr_mphi3e3 envelope).
 PP_CASE = "pp_mphi3e3"
 if (REFBIN / f"{PP_CASE}.txt").exists():
+    # measured (CPU, when the fixture landed): f64 max rel 3.0e-6 — the
+    # medium-vs-full table delta is subdominant to the nr noise envelope;
+    # f32 max rel 6.8e-3 — the nr closed-form-noise bound, as for
+    # nr_mphi3e3.
     CASES[PP_CASE] = (
-        dict(non_resonant=True, g=0.3, phiphi=True), 2e-2, 2e-2)
+        dict(non_resonant=True, g=0.3, phiphi=True), 1e-5, 2e-2)
 
 PHYSICS_GATE = 1e-3  # BASELINE.json per-bin acceptance
 
