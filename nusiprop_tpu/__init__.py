@@ -24,12 +24,38 @@ _jax.config.update("jax_enable_x64", True)
 # minutes (f64-emulated transcendental graphs); caching them across
 # processes makes every shape a one-time cost. Respect an explicit
 # user/caller setting.
+#
+# The directory is salted with a host-ISA fingerprint: XLA:CPU entries
+# are ahead-of-time machine code whose cache key does NOT cover the
+# host's CPU features, so an entry written on one machine can load on
+# another with unsupported instructions (observed as cpu_aot_loader
+# feature-mismatch warnings and intermittent SIGILL/SIGABRT). Salting
+# keeps a same-host cache warm while giving a different host a clean
+# slate instead of poisoned artifacts.
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    ident += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
 if _jax.config.jax_compilation_cache_dir is None:
     import os as _os
 
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.path.expanduser("~/.cache/nusiprop_tpu/jax"))
+        _os.path.expanduser(f"~/.cache/nusiprop_tpu/jax-{_host_fingerprint()}"))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from nusiprop_tpu.api import Evolver, pyprop
