@@ -133,11 +133,14 @@ def checkpointed_grid_scan(params: PhysicsParams, cfg: Config, path,
             )
         res = grid_scan(chunk, cfg, pp_tables=pp_tables)
         n_real = sl.stop - sl.start
+        E_nu = np.asarray(res.E_nu)
+        if E_nu.ndim == 2:  # batched result carries a per-point grid axis
+            E_nu = E_nu[0]
         tmp = cp + ".tmp.npz"
         np.savez(tmp,
                  flux=np.asarray(res.flux)[:n_real],
                  flux_fla=np.asarray(res.flux_fla)[:n_real],
-                 E_nu=np.asarray(res.E_nu))
+                 E_nu=E_nu)
         os.replace(tmp, cp)  # atomic: a chunk file is complete or absent
         if progress:
             progress(c + 1, n_chunks)

@@ -67,6 +67,44 @@ def test_cli_check_energy_and_march_override(tmp_path, capsys):
     assert "energy-conservation drift" in out
 
 
+def test_cli_scan_grid(tmp_path):
+    from nusiprop_tpu.__main__ import _parse_axis
+
+    assert np.allclose(_parse_axis("1e2:1e4:3"), [1e2, 1e3, 1e4])
+    assert np.allclose(_parse_axis("5e3,2e6"), [5e3, 2e6])
+    with pytest.raises(SystemExit):
+        _parse_axis("-1,3")
+
+    out = tmp_path / "scan.npz"
+    rc = main([
+        "scan", "--mphi", "1e6:1e7:3", "--g", "1e-6,1e-5",
+        "--mntot", "0.06", "--si", "2", "--bins", "24",
+        "--lEmin", "4", "--lEmax", "9",
+        "--s-channel-only", "--no-phiphi", "--chunk", "4",
+        "-q", "-o", str(out),
+    ])
+    assert rc == 0
+    dat = np.load(out)
+    assert dat["flux_fla"].shape == (6, 3, 24)
+    assert dat["E_nu"].shape == (24,)
+    assert dat["mphi"].shape == (3,) and dat["g"].shape == (2,)
+    assert np.all(np.isfinite(dat["flux_fla"]))
+
+    # checkpointed mode reproduces the plain scan
+    out2 = tmp_path / "scan_ck.npz"
+    rc = main([
+        "scan", "--mphi", "1e6:1e7:3", "--g", "1e-6,1e-5",
+        "--mntot", "0.06", "--si", "2", "--bins", "24",
+        "--lEmin", "4", "--lEmax", "9",
+        "--s-channel-only", "--no-phiphi", "--chunk", "4",
+        "--checkpoint", "-q", "-o", str(out2),
+    ])
+    assert rc == 0
+    dat2 = np.load(out2)
+    np.testing.assert_allclose(dat2["flux_fla"], dat["flux_fla"],
+                               rtol=1e-12)
+
+
 def test_cli_rejects_bad_flav():
     with pytest.raises(SystemExit):
         main(["--mphi", "1", "--g", "1", "--mntot", "0.1", "--si", "2",
