@@ -29,3 +29,33 @@ jax.config.update("jax_enable_x64", True)
 # warnings and intermittent SIGABRTs inside cache writes during full-suite
 # runs. CPU test compiles are cheap; correctness beats cache warmth here.
 jax.config.update("jax_enable_compilation_cache", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A full-suite run compiles many hundreds of XLA:CPU executables into
+    one process; on some hosts LLVM's JIT eventually segfaults inside a
+    later compile (observed: Fatal Python error in
+    jax/_src/compiler.py backend_compile_and_load at ~test 286 of 293,
+    reproducible across runs, while every module passes in isolation —
+    i.e. accumulated JIT state, not any single program, is the trigger).
+    Dropping the caches at module boundaries bounds resident compiled
+    code; modules rarely share jitted shapes, so the recompile cost is
+    noise against the suite's runtime.
+    """
+    yield
+    jax.clear_caches()
+    # lru_cache-held closures (transport/scan jit wrappers) pin their
+    # executables; clear the library-level memoizers too.
+    from nusiprop_tpu.models import transport
+    from nusiprop_tpu.parallel import scan as pscan
+
+    for mod in (transport, pscan):
+        for name in dir(mod):
+            fn = getattr(mod, name)
+            if hasattr(fn, "cache_clear"):
+                fn.cache_clear()
