@@ -228,9 +228,12 @@ def main():
             _tables = _ppt.load_default()
             _pp_run = lambda cfg: (
                 lambda p: nu.grid_scan(p, cfg, pp_tables=_tables).flux)
+            # Batch 8, not nr_batch: the 500-bin pp alpha program at
+            # batch 64 faults the TPU device even after the lax.map
+            # pair-chunking fixed its compiler crash (UNAVAILABLE at
+            # materialization, reproducible; batch 8 verified OK).
             regimes.append(("phiphi", _cfg(True, "auto", phiphi=True),
-                            int(os.environ.get("BENCH_PP_BATCH",
-                                               str(nr_batch))),
+                            int(os.environ.get("BENCH_PP_BATCH", "8")),
                             1e-3, KEY_PP, _pp_run))
         regimes.append(("s_channel_f64", _cfg(False, "rank1"), 256, 1e-2,
                         KEY_S, None))

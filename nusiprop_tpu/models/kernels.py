@@ -40,11 +40,17 @@ builders then apply only |U|^2 / (2 mn).
 import math
 
 import jax.numpy as jnp
+from jax import lax
 
 from nusiprop_tpu.ops import specfun as sf
 from nusiprop_tpu.ops.quadrature import GL3_W, GL3_X
 
 PI = math.pi
+
+# Pair-chunk size for the spline-backed pp alpha build (see alpha_table):
+# one chunk body is what the TPU compiler sees, so this bounds compiler
+# memory; runtime cost is unchanged (elementwise work, same total).
+_PP_CHUNK = 8192
 
 
 def scalar_width(g, mphi, majorana: bool):
@@ -224,19 +230,45 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     spp = 2.0 * mn_c * Ep[cols][None, :] / (mphi * mphi)
     smp = 2.0 * mn_c * Em[cols][None, :] / (mphi * mphi)
 
-    if channel in ("all", "s"):
-        tot = alpha_s(tm, tp, smp, spp, g, mphi, ga)
-        if not majorana:
-            tot = tot / 2.0
-    else:
-        tot = jnp.zeros_like(tm)
-    if non_resonant and channel != "s":
-        from nusiprop_tpu.models import kernels_nr
+    def _tot(tm, tp, smp, spp):
+        if channel in ("all", "s"):
+            tot = alpha_s(tm, tp, smp, spp, g, mphi, ga)
+            if not majorana:
+                tot = tot / 2.0
+        else:
+            tot = jnp.zeros_like(tm)
+        if non_resonant and channel != "s":
+            from nusiprop_tpu.models import kernels_nr
 
-        tot = tot + kernels_nr.alpha_nonresonant(
-            tm, tp, smp, spp, g, mphi, ga, majorana=majorana, phiphi=phiphi,
-            pp_tables=pp_tables, channel=channel,
-        )
+            tot = tot + kernels_nr.alpha_nonresonant(
+                tm, tp, smp, spp, g, mphi, ga, majorana=majorana,
+                phiphi=phiphi, pp_tables=pp_tables, channel=channel,
+            )
+        return tot
+
+    NT = rows.shape[0]
+    if channel == "pp" and NT > _PP_CHUNK:
+        # The spline-backed pp program over all N(N-1)/2 pairs fuses a
+        # 64-point 3-D gather stencil with the three Taylor-tail
+        # branches in (TPU-emulated) f64; at production bin counts that
+        # single fused graph crashes the TPU compiler (observed: remote
+        # compile-helper death at 500 bins x batch 64 after ~7 min).
+        # lax.map over fixed-size pair chunks compiles ONE chunk body
+        # and bounds compiler memory; elementwise => bitwise-identical.
+        pad = (-NT) % _PP_CHUNK
+        K = (NT + pad) // _PP_CHUNK
+
+        def _chunk(c):
+            return _tot(c[0], c[1], c[2], c[3])
+
+        coords = jnp.stack([
+            jnp.pad(a, ((0, 0), (0, pad)), mode="edge")
+            .reshape(3, K, _PP_CHUNK).swapaxes(0, 1)
+            for a in (tm, tp, smp, spp)], axis=1)      # (K, 4, 3, C)
+        tot = lax.map(_chunk, coords)                  # (K, 3, C)
+        tot = tot.swapaxes(0, 1).reshape(3, K * _PP_CHUNK)[:, :NT]
+    else:
+        tot = _tot(tm, tp, smp, spp)
     tot = tot / (2.0 * mn_c)
     if Wf is None:
         out = jnp.zeros((3, N, N), dtype=tot.dtype)

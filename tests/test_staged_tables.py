@@ -50,3 +50,32 @@ def test_staged_batched_matches_single():
         np.testing.assert_array_equal(np.asarray(bG[k]), np.asarray(sG))
         np.testing.assert_array_equal(np.asarray(bAt[k]), np.asarray(sAt))
         np.testing.assert_array_equal(np.asarray(bA[k]), np.asarray(sA))
+
+
+def test_pp_alpha_chunked_matches_unchunked(monkeypatch):
+    """The lax.map pair-chunking of the spline-backed pp alpha program
+    (a TPU compiler-memory bound, see kernels._PP_CHUNK) is elementwise
+    restructuring only: forcing a small chunk on a small grid must
+    reproduce the unchunked build up to fusion-dependent last-ulp
+    rounding (the chunk body compiles standalone, so XLA's FMA/fusion
+    choices differ; measured max 5.3e-16 rel on CPU)."""
+    from nusiprop_tpu.models import pp_tables as ppt
+
+    cfg = Config(N_bins_E=24, lEmin=9.0, lEmax=14.0, non_resonant=True,
+                 phiphi=True, source="powerlaw")
+    p = PhysicsParams.create(6e5, 0.01, 0.1, 2.5, 1.0)
+    tables = ppt.load_default()
+    gr = grids.build(cfg)
+    Wf = jnp.asarray(mixing.pmns_sq(True))[cfg.flav]
+    mn = masses.mass_spectrum(p.mntot, True)
+    kw = dict(majorana=True, non_resonant=True, phiphi=True,
+              pp_tables=tables, channel="pp")
+
+    ref = np.asarray(kernels.alpha_table(
+        gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi, Wf, **kw))
+    # NT at 24 bins is well under the production threshold; force
+    # chunking (incl. a ragged tail: NT = 31*61 pairs vs chunk 64)
+    monkeypatch.setattr(kernels, "_PP_CHUNK", 64)
+    chunked = np.asarray(kernels.alpha_table(
+        gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi, Wf, **kw))
+    np.testing.assert_allclose(chunked, ref, rtol=1e-14, atol=0)
