@@ -202,6 +202,36 @@ def alphatilde_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant,
     return jnp.sum(Wf[:, None] / (2.0 * mn_c) * tot, axis=0)
 
 
+def _pairs_chunked(fn, tm, tp, smp, spp):
+    """Evaluate ``fn(tm, tp, smp, spp)`` over flattened (3, NT) pair
+    coordinates, ``lax.map``'d over fixed ``_PP_CHUNK``-pair blocks when
+    NT is large.
+
+    The spline-backed pp program over all N(N-1)/2 pairs fuses a
+    64-point 3-D gather stencil with the three Taylor-tail branches; at
+    production bin counts in (TPU-emulated) f64 that single fused graph
+    crashes the TPU compiler (observed: remote compile-helper death at
+    500 bins x batch 64 after ~7 min). lax.map over fixed-size pair
+    chunks compiles ONE chunk body and bounds compiler memory;
+    elementwise => bitwise-identical (up to fusion-dependent last-ulp
+    rounding, see tests/test_staged_tables.py)."""
+    NT = tm.shape[-1]
+    if NT <= _PP_CHUNK:
+        return fn(tm, tp, smp, spp)
+    pad = (-NT) % _PP_CHUNK
+    K = (NT + pad) // _PP_CHUNK
+
+    def _chunk(c):
+        return fn(c[0], c[1], c[2], c[3])
+
+    coords = jnp.stack([
+        jnp.pad(a, ((0, 0), (0, pad)), mode="edge")
+        .reshape(3, K, _PP_CHUNK).swapaxes(0, 1)
+        for a in (tm, tp, smp, spp)], axis=1)      # (K, 4, 3, C)
+    tot = lax.map(_chunk, coords)                  # (K, 3, C)
+    return tot.swapaxes(0, 1).reshape(3, K * _PP_CHUNK)[:, :NT]
+
+
 def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
                 pp_tables=None, channel="all", width_factor=None):
     """Bin-to-bin regeneration table (N, N): rows = target bin, cols =
@@ -246,27 +276,8 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
             )
         return tot
 
-    NT = rows.shape[0]
-    if channel == "pp" and NT > _PP_CHUNK:
-        # The spline-backed pp program over all N(N-1)/2 pairs fuses a
-        # 64-point 3-D gather stencil with the three Taylor-tail
-        # branches in (TPU-emulated) f64; at production bin counts that
-        # single fused graph crashes the TPU compiler (observed: remote
-        # compile-helper death at 500 bins x batch 64 after ~7 min).
-        # lax.map over fixed-size pair chunks compiles ONE chunk body
-        # and bounds compiler memory; elementwise => bitwise-identical.
-        pad = (-NT) % _PP_CHUNK
-        K = (NT + pad) // _PP_CHUNK
-
-        def _chunk(c):
-            return _tot(c[0], c[1], c[2], c[3])
-
-        coords = jnp.stack([
-            jnp.pad(a, ((0, 0), (0, pad)), mode="edge")
-            .reshape(3, K, _PP_CHUNK).swapaxes(0, 1)
-            for a in (tm, tp, smp, spp)], axis=1)      # (K, 4, 3, C)
-        tot = lax.map(_chunk, coords)                  # (K, 3, C)
-        tot = tot.swapaxes(0, 1).reshape(3, K * _PP_CHUNK)[:, :NT]
+    if channel == "pp":
+        tot = _pairs_chunked(_tot, tm, tp, smp, spp)
     else:
         tot = _tot(tm, tp, smp, spp)
     tot = tot / (2.0 * mn_c)
@@ -274,6 +285,49 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
         out = jnp.zeros((3, N, N), dtype=tot.dtype)
         return out.at[:, rows, cols].set(tot)
     res = jnp.sum(Wf[:, None] * tot, axis=0)  # (NT,)
+    out = jnp.zeros((N, N), dtype=res.dtype)
+    return out.at[rows, cols].set(res)
+
+
+def alpha_pp_table_norm(Em, Ep, mn, mphi, Wf, *, majorana, pp_tables):
+    """NORMALIZED phi-phi alpha channel table: alpha_table(channel="pp")
+    WITHOUT the g^4 coupling prefactor, in the spline-values dtype.
+
+    For the native-f32 march's normalized-table fold (pref = g^4,
+    kernels_nr_f32.alpha_table_f32 raw=True): folding the pp channel as
+    (g^4 * val) / g^4 would materialize weak-coupling intermediates
+    (~1e-60) below the exponent window the TPU's emulated f64 carries;
+    here g^4 never touches the values. With f32-cast tables
+    (ops/interp.SplineND.astype) the 64-point 3-D stencil contraction —
+    the pp channel's dominant op count — runs in native f32
+    (kernels_nr.alpha_pp_val), which is also what makes the program
+    small enough to compile and run at production bin counts x batch.
+    """
+    import numpy as _np
+
+    from nusiprop_tpu.models import kernels_nr
+
+    N = Em.shape[0]
+    mn_c = mn[:, None]
+    rows, cols = _np.triu_indices(N, k=1)
+    rows = jnp.asarray(rows)
+    cols = jnp.asarray(cols)
+    tp = _shift_near_minus1(-2.0 * mn_c * Ep[rows][None, :] / (mphi * mphi))
+    tm = _shift_near_minus1(-2.0 * mn_c * Em[rows][None, :] / (mphi * mphi))
+    spp = 2.0 * mn_c * Ep[cols][None, :] / (mphi * mphi)
+    smp = 2.0 * mn_c * Em[cols][None, :] / (mphi * mphi)
+
+    def _fn(tm, tp, smp, spp):
+        return kernels_nr.alpha_pp_norm(
+            tm, tp, smp, spp, majorana=majorana, pp_tables=pp_tables)
+
+    tot = _pairs_chunked(_fn, tm, tp, smp, spp)       # (3, NT)
+    if Wf is None:  # per-state (3, N, N) for general couplings
+        res = jnp.asarray(1.0 / (2.0 * mn_c), tot.dtype) * tot
+        out = jnp.zeros((3, N, N), dtype=res.dtype)
+        return out.at[:, rows, cols].set(res)
+    w_e = jnp.asarray(Wf[:, None] / (2.0 * mn_c), tot.dtype)
+    res = jnp.sum(w_e * tot, axis=0)                  # (NT,)
     out = jnp.zeros((N, N), dtype=res.dtype)
     return out.at[rows, cols].set(res)
 

@@ -847,10 +847,18 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
     )
 
 
-def alpha_pp(tm, tp, smp, spp, g, *, majorana: bool, pp_tables):
-    """Double scalar production (nuSIprop.hpp:1476-1503): 3-D spline for
-    sminus' in (4, 1e4), analytic Taylor tails above (three regimes in
-    the target-bin limits)."""
+def alpha_pp_val(tm, tp, smp, spp, *, pp_tables):
+    """Normalized double-scalar-production bin-to-bin value: the 3-D
+    spline for sminus' in (4, 1e4) and the analytic Taylor tails above
+    (three regimes in the target-bin limits, nuSIprop.hpp:1487-1492) —
+    WITHOUT the g^4 coupling, the Majorana/Dirac multiplicity, or the
+    s > 4 threshold zeroing (those are alpha_pp's).
+
+    Dtype-following: the 64-point stencil contraction of the spline
+    eval follows the table-values dtype (ops/interp.SplineND.astype),
+    so f32-cast tables run the dominant op count of the pp channel in
+    native f32 on TPU; coordinates and the closed-form tails stay f64
+    and are cast at the join."""
     smp_s = jnp.maximum(smp, 4.0 + 1e-12)
     spp_s = jnp.maximum(spp, smp_s * (1.0 + 1e-12))
     lsm, lsp = _ln(smp_s), _ln(spp_s)
@@ -917,19 +925,43 @@ def alpha_pp(tm, tp, smp, spp, g, *, majorana: bool, pp_tables):
     )
 
     tail = jnp.where(tm < -1.0, tail1, jnp.where(tp < -1.0, tail2, tail3))
-    tail = (g * g) * (g * g) * tail
 
     if pp_tables is not None:
         delta = spp_s / smp_s
         n_coord = _ln(smp_s / mtm) / _ln(delta) * 1.0001
-        interp = pp_tables.eval_alpha(smp_s, n_coord, jnp.log10(delta))
-        interp = (g * g) * (g * g) * jnp.abs(interp)
-        val = jnp.where(smp_s < 1e4, interp, tail)
+        interp = jnp.abs(pp_tables.eval_alpha(smp_s, n_coord,
+                                              jnp.log10(delta)))
+        val = jnp.where(smp_s < 1e4, interp, tail.astype(interp.dtype))
     else:
         val = tail
+    return val
 
+
+def alpha_pp(tm, tp, smp, spp, g, *, majorana: bool, pp_tables):
+    """Double scalar production (nuSIprop.hpp:1476-1503): 3-D spline for
+    sminus' in (4, 1e4), analytic Taylor tails above (alpha_pp_val),
+    with the g^4 coupling and multiplicity applied in f64."""
+    val = alpha_pp_val(tm, tp, smp, spp, pp_tables=pp_tables)
+    val = (g * g) * (g * g) * val
     mult = 8.0 if majorana else 2.0  # same multiplicities as alphaTilde_pp
     return jnp.where(smp > 4.0, mult * val, 0.0)
+
+
+def alpha_pp_norm(tm, tp, smp, spp, *, majorana: bool, pp_tables):
+    """``alpha_pp`` WITHOUT the g^4 coupling, with the coordinate floors
+    and range mask that ``alpha_nonresonant(channel="pp")`` would apply:
+    the pp channel's normalized contribution for the native-f32 march's
+    (A32, pref = g^4) table fold (kernels.alpha_pp_table_norm). Stays in
+    the spline-values dtype end to end."""
+    ok = (-tp >= _COORD_FLOOR) & (spp >= _COORD_FLOOR)
+    tm = _floor_t(tm)
+    tp = _floor_t(tp)
+    smp = _floor_s(smp)
+    spp = _floor_s(spp)
+    val = alpha_pp_val(tm, tp, smp, spp, pp_tables=pp_tables)
+    mult = jnp.asarray(8.0 if majorana else 2.0, val.dtype)
+    zero = jnp.zeros((), val.dtype)
+    return jnp.where(ok & (smp > 4.0), mult * val, zero)
 
 
 def alpha_nonresonant(tm, tp, smp, spp, g, mphi, ga, *, majorana, phiphi,

@@ -506,6 +506,36 @@ def _use_f32_alpha(cfg: Config, allow_f32_march: bool = False) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _pp_f32(pp_tables):
+    """phi-phi tables with the 3-D alpha spline values cast to f32: the
+    64-point stencil contraction — the dominant op count of the pp
+    channel build — then runs in native f32 instead of TPU-emulated f64
+    (ops/interp.SplineND.astype; ~1e-7 relative round-off against the
+    ~1e-3 physics gate). The cheap O(N) 2-D alphatilde spline stays f64.
+    """
+    if pp_tables is None:
+        return None
+    return pp_tables._replace(
+        alpha=pp_tables.alpha.astype(jnp.float32))
+
+
+@lru_cache(maxsize=None)
+def _pp_norm_builder_jit(cfg: Config, batched: bool):
+    """Normalized (g^4-free) f32 pp alpha channel for the trisolve_f32
+    table fold (kernels.alpha_pp_table_norm docstring)."""
+    def build(params, pp_tables):
+        gr = grids.build(cfg)
+        Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+        mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+        return kernels.alpha_pp_table_norm(
+            gr.Emin_ext, gr.Emax_ext, mn, params.mphi, Wf,
+            majorana=cfg.majorana, pp_tables=pp_tables)
+
+    if batched:
+        build = jax.vmap(build, in_axes=(0, None))
+    return jax.jit(build)
+
+
 @lru_cache(maxsize=None)
 def _alpha_f32_builder_jit(cfg: Config, batched: bool, raw: bool = False,
                            per_state: bool = False):
@@ -587,22 +617,24 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
             # native-f32 march consumes the NORMALIZED f32 table + pref
             a32, pref = _alpha_f32_builder_jit(cfg, batched, True)(params)
             if cfg.phiphi:
-                pp = _channel_builder_jit(
-                    cfg, table, "pp", batched, per_state)(
-                        params, pp_tables, *args)
-                a32 = a32 + (pp / jnp.reshape(
-                    pref, jnp.shape(pref) + (1, 1))).astype(jnp.float32)
+                # g^4-free f32 fold: pref IS g^4, so the pp channel
+                # joins normalized — no weak-coupling g^4*val
+                # intermediate (underflows emulated f64 on TPU), and
+                # the stencil contraction runs native f32 (_pp_f32).
+                a32 = a32 + _pp_norm_builder_jit(cfg, batched)(
+                    params, _pp_f32(pp_tables))
             out.append((a32, pref))
             continue
         if table == "alpha" and use_f32_alpha:
             # native-f32 quadrature build covers s+t_u+tu+st in one
-            # cheap program; only the spline-backed pp channel stays f64
+            # cheap program; the spline-backed pp channel keeps its f64
+            # join but contracts the stencil in f32 (_pp_f32)
             acc = _alpha_f32_builder_jit(cfg, batched,
                                          per_state=per_state)(params, *args)
             if cfg.phiphi:
                 acc = acc + _channel_builder_jit(
                     cfg, table, "pp", batched, per_state)(
-                        params, pp_tables, *args)
+                        params, _pp_f32(pp_tables), *args)
             out.append(acc)
             continue
         acc = None
@@ -678,9 +710,10 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
                 gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
                 majorana=cfg.majorana)
             if cfg.phiphi:
+                kw_pp = dict(kw, pp_tables=_pp_f32(pp_tables))
                 tblA = tblA + kernels.alpha_table(
                     gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi,
-                    Wf, channel="pp", **kw)
+                    Wf, channel="pp", **kw_pp)
         elif march in ("rank1", "rank1_f32"):
             # Rank-one factorization of the alpha table: no (NEXT, NEXT)
             # materialization at all. Stored pre-scaled by 2^100 so the

@@ -127,6 +127,19 @@ class SplineND:
     def ndim(self):
         return len(self.nodes)
 
+    def astype(self, dtype):
+        """Copy with ``values`` cast to ``dtype``.
+
+        ``eval`` follows the values dtype for the stencil contraction
+        (see eval), so ``astype(jnp.float32)`` turns the table into a
+        native-f32 interpolator — the TPU-fast path for the phi-phi
+        kernel builds, where the 4^N-point gather-and-contract otherwise
+        runs in emulated f64. Nodes and weight tensors stay f64: the
+        index arithmetic and weight polynomials are O(4N) per query
+        versus the contraction's O(4^N) and keep full accuracy for free.
+        """
+        return dataclasses.replace(self, values=self.values.astype(dtype))
+
     def eval(self, *coords):
         """Interpolate at broadcastable coordinate arrays (one per axis).
 
@@ -154,7 +167,9 @@ class SplineND:
             ks.append(k)
             ts.append(t)
 
-        # per-axis polynomial weights of the 4 stencil offsets
+        # per-axis polynomial weights of the 4 stencil offsets; the
+        # contraction below follows the VALUES dtype (astype docstring),
+        # so the weights are cast here — a no-op for f64 tables.
         polys, bases = [], []
         for i in range(self.ndim):
             x = self.nodes[i]
@@ -166,7 +181,7 @@ class SplineND:
             # The 4th stencil row is only populated for interior k, so a
             # fixed 4-offset gather with index clamping is exact: the
             # clamped (out-of-range) node meets a zero weight.
-            polys.append(p)                                # (4, ...)
+            polys.append(p.astype(self.values.dtype))      # (4, ...)
             bases.append(jnp.where(k == 0, k, k - 1))
 
         # gather the 4^N stencil and contract

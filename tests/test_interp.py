@@ -120,6 +120,25 @@ class TestSplineND:
                    for a, b in zip(qx, qy)]
         assert np.allclose(batch, singles, rtol=0, atol=0)
 
+    def test_astype_f32_eval(self):
+        """astype(float32) keeps the index arithmetic and weight
+        polynomials in f64 but contracts the stencil in the values
+        dtype: the result is f32 and within pure-f32 round-off of the
+        f64 interpolant (the TPU-fast path for the phi-phi tables)."""
+        xs = [random_grid(7), random_grid(6, 1.0, 2.0),
+              random_grid(8, -1.0, 1.0)]
+        X, Y, Z = np.meshgrid(*xs, indexing="ij")
+        F = np.exp(0.2 * X) * (1 + Y * Y) + Z * X
+        spl = interp.build_spline(xs, F)
+        spl32 = spl.astype(jnp.float32)
+        q = [jnp.asarray(RNG.uniform(lo + 0.01, hi - 0.01, 40))
+             for lo, hi in [(0, 3), (1, 2), (-1, 1)]]
+        ref = np.asarray(spl.eval(*q))
+        got = np.asarray(spl32.eval(*q))
+        assert got.dtype == np.float32
+        rel = np.abs(got - ref) / np.abs(ref)
+        assert rel.max() < 5e-6, rel.max()
+
 
 class TestBinaryLoader:
     def test_round_trip(self, tmp_path):

@@ -400,6 +400,54 @@ def test_trisolve_f32_phiphi_folds_pp_channel():
     assert rel < 2e-5, rel
 
 
+def test_alpha_pp_table_norm_matches_channel():
+    """kernels.alpha_pp_table_norm (the g^4-free, spline-dtype-following
+    pp build for the trisolve_f32 fold) times g^4 reproduces
+    alpha_table(channel="pp"): at f64-level with f64 tables, at pure-f32
+    round-off with the f32-cast tables transport._pp_f32 produces. The
+    per-state (Wf=None) variant must be the unweighted decomposition."""
+    import pathlib
+
+    from nusiprop_tpu.models import pp_tables as ppt
+
+    data = pathlib.Path(__file__).parents[1] / "data" / "pp_tables_small.npz"
+    if not data.exists():
+        pytest.skip("small pp tables not generated")
+    pp = ppt.load_npz(str(data))
+    mphi, g, maj, nb, lo, hi, mntot = HIGH_E_MAJ
+    cfg, gr, Wf, mn = _setup(mphi, g, maj, nb, lo, hi, mntot)
+
+    ref = np.asarray(kernels.alpha_table(
+        gr.Emin_ext, gr.Emax_ext, mn, g, mphi, Wf, majorana=maj,
+        non_resonant=True, phiphi=True, pp_tables=pp, channel="pp"))
+    g4 = g * g * g * g
+
+    norm64 = kernels.alpha_pp_table_norm(
+        gr.Emin_ext, gr.Emax_ext, mn, mphi, Wf, majorana=maj, pp_tables=pp)
+    np.testing.assert_allclose(g4 * np.asarray(norm64), ref,
+                               rtol=1e-12, atol=0)
+
+    pp32 = transport._pp_f32(pp)
+    norm32 = kernels.alpha_pp_table_norm(
+        gr.Emin_ext, gr.Emax_ext, mn, mphi, Wf, majorana=maj,
+        pp_tables=pp32)
+    assert norm32.dtype == jnp.float32
+    got = g4 * np.asarray(norm32, dtype=np.float64)
+    nz = ref != 0.0
+    assert np.array_equal(got == 0.0, ref == 0.0)  # same sparsity mask
+    rel = np.max(np.abs(got[nz] - ref[nz]) / np.abs(ref[nz]))
+    assert rel < 5e-6, rel
+
+    # per-state decomposition: Wf-weighted sum of the (3, N, N) output
+    # must equal the flavor-summed table
+    per = kernels.alpha_pp_table_norm(
+        gr.Emin_ext, gr.Emax_ext, mn, mphi, None, majorana=maj,
+        pp_tables=pp)
+    summed = np.einsum("e,eij->ij", np.asarray(Wf), np.asarray(per))
+    np.testing.assert_allclose(summed, np.asarray(norm64),
+                               rtol=1e-13, atol=0)
+
+
 def test_trisolve_f32_batched_grid_scan():
     """grid_scan routes trisolve_f32 through build_tables (raw f32 table
     + pref pytree) and agrees with single evolves."""
