@@ -7,7 +7,7 @@ emulated-f64 exponent range (float32's) silently flushes or overflows
 an intermediate: results stay finite and plausible but wrong (see
 docs/DESIGN.md "TPU numerics hardening").
 
-Usage: python tools/tpu_crosscheck.py [--nr] [--batch 4] [--pallas] [--f32] [--g G]
+Usage: python tools/tpu_crosscheck.py [--nr] [--pp] [--batch 4] [--pallas] [--f32] [--g G]
 """
 
 import argparse
@@ -30,6 +30,7 @@ batch = int(sys.argv[4])
 use_pallas = bool(int(sys.argv[5]))
 use_f32 = bool(int(sys.argv[6]))
 g_override = float(sys.argv[7])
+pp = bool(int(sys.argv[8]))
 
 import jax
 if platform == "cpu":
@@ -47,32 +48,38 @@ from nusiprop_tpu.config import Config
 # of this workload — their antiderivative differences are cancellation
 # noise up to ~1e9x the true kernel values (kernels_nr_f32 docstring;
 # the scipy-referee'd accuracy gate lives in tests/test_kernels_nr_f32).
-if nr:
+if nr or pp:
     march = "trisolve_f32"
 elif use_f32:
     march = "rank1_f32"
 else:
     march = "rank1"
 cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
-             non_resonant=nr, phiphi=False, march=march)
+             non_resonant=nr or pp, phiphi=pp, march=march)
 mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
-g0 = g_override if g_override > 0 else (1e-3 if nr else 1e-2)
+g0 = g_override if g_override > 0 else (1e-3 if nr or pp else 1e-2)
 params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [g0],
                        mntot=mntot, si=2.0, norm=6.0)
+pp_tables = None
+if pp:
+    from nusiprop_tpu.models import pp_tables as ppt
+    pp_tables = ppt.load_default()
 if use_pallas:
     from nusiprop_tpu.ops.march_ds import evolve_pallas
     flux = np.asarray(evolve_pallas(params, cfg))
 else:
-    flux = np.asarray(nu.grid_scan(params, cfg).flux_fla)
+    flux = np.asarray(nu.grid_scan(params, cfg, pp_tables=pp_tables).flux_fla)
 np.save(out_path, flux)
 print("device:", jax.devices()[0])
 """ % str(ROOT / ".jax_cache")
 
 
-def run(platform, out, nr, batch, use_pallas, use_f32=False, g=0.0):
+def run(platform, out, nr, batch, use_pallas, use_f32=False, g=0.0,
+        pp=False):
     subprocess.run(
         [sys.executable, "-c", _WORKER, platform, out, str(int(nr)),
-         str(batch), str(int(use_pallas)), str(int(use_f32)), str(g)],
+         str(batch), str(int(use_pallas)), str(int(use_f32)), str(g),
+         str(int(pp))],
         check=True, cwd=ROOT, timeout=3000)
 
 
@@ -88,14 +95,19 @@ def main():
                     help="override the coupling (default: the bench "
                          "regime; use 1e-6 for the golden weak-coupling "
                          "regime)")
+    ap.add_argument("--pp", action="store_true",
+                    help="the full channel set (non_resonant + phi-phi "
+                         "production via the default spline tables), "
+                         "all-f32 pipeline pinned on both sides like "
+                         "--nr; keep --batch <= 8 (bench.py pp note)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as td:
         tf = f"{td}/tpu.npy"
         cf = f"{td}/cpu.npy"
         run("tpu", tf, args.nr, args.batch, args.pallas, args.f32,
-            args.g)
-        run("cpu", cf, args.nr, args.batch, False, g=args.g)
+            args.g, pp=args.pp)
+        run("cpu", cf, args.nr, args.batch, False, g=args.g, pp=args.pp)
         tpu = np.load(tf)
         cpu = np.load(cf)
 
