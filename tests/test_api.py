@@ -5,6 +5,8 @@ import pytest
 
 import nusiprop_tpu as nu
 
+pytestmark = pytest.mark.smoke
+
 GOLDEN_KW = dict(
     mphi=5e6, g=1e-6, mntot=float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3)),
     si=2.0, norm=6, N_bins_E=40, lEmin=4, lEmax=9, zmax=5,

@@ -14,6 +14,8 @@ import pytest
 
 import nusiprop_tpu as nu
 
+pytestmark = pytest.mark.smoke
+
 GOLDEN = pathlib.Path(__file__).parent / "data" / "data_massless.txt"
 
 

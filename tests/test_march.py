@@ -15,6 +15,8 @@ import pytest
 from nusiprop_tpu.config import Config, PhysicsParams
 from nusiprop_tpu.models import transport
 
+pytestmark = pytest.mark.smoke
+
 MNTOT = 0.0 + np.sqrt(7.42e-5) + np.sqrt(2.514e-3)
 
 

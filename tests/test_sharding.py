@@ -16,6 +16,8 @@ import nusiprop_tpu as nu
 from nusiprop_tpu.config import Config
 from nusiprop_tpu.parallel.scan import sharded_grid_scan
 
+pytestmark = pytest.mark.smoke
+
 MNTOT = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
 
 

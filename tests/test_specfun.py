@@ -13,6 +13,8 @@ import pytest
 
 from nusiprop_tpu.ops import specfun as sf
 
+pytestmark = pytest.mark.smoke
+
 mp.mp.dps = 40
 RNG = np.random.default_rng(42)
 

@@ -58,10 +58,17 @@ def main(argv):
     batches = [int(a) for a in argv] or [8, 16, 32]
     for b in batches:
         print(f"--- pp batch {b}", flush=True)
-        r = subprocess.run(
-            [sys.executable, __file__, "--one", str(b)],
-            cwd=ROOT, timeout=3600,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--one", str(b)],
+                cwd=ROOT, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # A wedged tunneled backend hangs the child to the timeout —
+            # exactly the failure the per-point subprocess isolates.
+            # Report and move on to the next batch size.
+            print(json.dumps({"batch": b, "error": "timeout"}), flush=True)
+            continue
         if r.returncode != 0:
             print(json.dumps({"batch": b, "error": f"rc={r.returncode}"}),
                   flush=True)

@@ -1,13 +1,17 @@
-"""Measure whether _NPANEL=2 (or the GL3 x-node count) can be trimmed
-in the f32 non-resonant alpha build without leaving the f32-round-off-
-bound regime.
+"""Measure whether _NPANEL can be trimmed from the production value of
+3 (kernels_nr_f32._NPANEL) to 2 in the f32 non-resonant alpha build
+without leaving the f32-round-off-bound regime.
 
 Method: for each configuration family, build the f32 alpha table at
 _NPANEL in {5, 3, 2, 1} and compare (a) against _NPANEL=5 as the
 self-convergence reference, (b) against the f64 closed forms in the
 clean high-energy regime where those are trustworthy. If 2 panels sit
 at the same error as 3 (both round-off bound), the build is over-
-resolved and ~22% of its tensor evals can go.
+resolved and a 3->2 trim drops ~1/3 of the per-segment q-nodes.
+
+NOTE: the monkeypatch of the private _NPANEL global below works only
+because alpha_table_f32 is un-jitted; if it ever gains a jit/cache the
+patch would silently freeze the first value.
 
 Run on CPU: python tools/experiment_npanel.py
 """
