@@ -87,6 +87,11 @@ def _build_parser() -> argparse.ArgumentParser:
     out.add_argument("-o", "--output", metavar="PATH",
                      help="write the spectrum in the reference text "
                           "format (test.py:52-59)")
+    out.add_argument("--audit", action="store_true",
+                     help="after evolving, audit the kernel tables and "
+                          "scream to stderr on negative/non-finite "
+                          "entries (the reference's always-on checks, "
+                          "nuSIprop.hpp:909-918, as an opt-in pass)")
     out.add_argument("--check-energy", action="store_true",
                      help="also print the relative total-energy drift "
                           "vs free streaming (nuSIprop.hpp:339-357)")
@@ -279,6 +284,8 @@ def main(argv=None) -> int:
         drift = None
         ev.evolve()
     wall = time.perf_counter() - t0
+    if args.audit:
+        ev.audit()
 
     E = ev.get_energies()
     fla = ev.get_flux_fla()

@@ -78,6 +78,7 @@ class Evolver:
 
             self._pp_tables = pp_tables.load_default()
         self.evolved = False
+        self.last_audit = None
         self._result: EvolveResult | None = None
 
     # -- parameter access (mirrors the public fields mphi,g,mntot,si,norm) --
@@ -139,8 +140,19 @@ class Evolver:
 
     # -- main entry points ---------------------------------------------------
 
-    def evolve(self):
-        """Evolve the neutrino flux."""
+    def evolve(self, audit=False):
+        """Evolve the neutrino flux.
+
+        ``audit=True`` additionally builds the f64 kernel tables through
+        the diagnostics path and screams to stderr with a parameter dump
+        if any final entry is negative or non-finite — the runtime
+        analog of the reference's always-on negative-cross-section
+        checks (nuSIprop.hpp:909-918, 1215-1231, 1505-1516). Off by
+        default: the reference's checks ride along per scalar kernel
+        call for free, whereas here they would be a second table build,
+        so the hot path stays untouched. The report is kept on
+        ``self.last_audit``.
+        """
         if self.coupling_matrix is not None:
             self._result = transport.evolve_general(
                 self.params, self.coupling_matrix, self.config,
@@ -149,7 +161,30 @@ class Evolver:
             self._result = transport.evolve(self.params, self.config,
                                             pp_tables=self._pp_tables)
         self.evolved = True
+        if audit:
+            self.audit()
         return self
+
+    def audit(self):
+        """Build the kernel tables and warn on stderr if unhealthy.
+
+        Returns the models.diagnostics.KernelAudit report (also kept on
+        ``self.last_audit``)."""
+        import sys
+
+        from nusiprop_tpu.models import diagnostics
+
+        report = diagnostics.audit_kernels(self.params, self.config,
+                                           pp_tables=self._pp_tables)
+        self.last_audit = report
+        if not report.healthy:
+            sys.stderr.write(
+                "Negative cross section in the kernel tables (even after "
+                "the quadrature rescues). The table health is as "
+                "follows:\n" + report.pretty() + "\n"
+                f"Possible roundoff errors for g={self.g}, "
+                f"mphi={self.mphi}, mntot={self.mntot}\n")
+        return report
 
     def _require_evolved(self):
         if not self.evolved or self._result is None:
@@ -159,23 +194,92 @@ class Evolver:
             return False
         return True
 
-    def get_flux(self):
-        """Flux per mass eigenstate, shape (3, N_bins_E)."""
-        if not self._require_evolved():
-            return np.zeros((3, self.config.N_bins_E))
-        return np.asarray(self._result.flux)
+    def _check_index(self, i, j, kind):
+        """Reference per-index bounds semantics (nuSIprop.hpp:359-405):
+        out-of-range -> stderr warning + return-0 signal. The reference
+        checks ``j > N_bins_E`` (an off-by-one; ``j == N_bins_E`` reads
+        one past the allocation, undefined behavior) — here the full
+        valid range is [0, N_bins_E) and anything else returns 0, with
+        the warning worded like the reference's for the cases it
+        detects."""
+        import sys
 
-    def get_flux_fla(self):
-        """Flux per flavor {e, mu, tau}, shape (3, N_bins_E)."""
+        N = self.config.N_bins_E
+        if i < 0 or i >= 3:
+            sys.stderr.write(
+                f"You asked for the flux of the {kind} {i}, not in "
+                f"[0,1,2]. Zero will be returned.\n")
+            return False
+        if j < 0:
+            sys.stderr.write(
+                f"You asked for the flux at the energy bin {j}<0! "
+                f"Zero will be returned.\n")
+            return False
+        if j >= N:
+            sys.stderr.write(
+                f"You asked for the flux at the energy bin {j}, but "
+                f"there are only {N} bins! Zero will be returned.\n")
+            return False
+        return True
+
+    def get_flux(self, i=None, j=None):
+        """Flux per mass eigenstate.
+
+        ``get_flux()`` returns the full (3, N_bins_E) array;
+        ``get_flux(i, j)`` returns the scalar flux of eigenstate ``i``
+        at energy bin ``j`` with the reference's out-of-range semantics
+        (stderr warning + 0, nuSIprop.hpp:359-381)."""
+        if i is None and j is None:
+            if not self._require_evolved():
+                return np.zeros((3, self.config.N_bins_E))
+            return np.asarray(self._result.flux)
+        if not self._check_index(int(i), int(j), "mass eigenstate"):
+            return 0.0
         if not self._require_evolved():
-            return np.zeros((3, self.config.N_bins_E))
-        return np.asarray(self._result.flux_fla)
+            return 0.0
+        return float(self._result.flux[int(i), int(j)])
+
+    def get_flux_fla(self, i=None, j=None):
+        """Flux per flavor {e, mu, tau}.
+
+        ``get_flux_fla()`` returns the full (3, N_bins_E) array;
+        ``get_flux_fla(i, j)`` returns the scalar flavor-``i`` flux at
+        bin ``j`` with the reference's out-of-range semantics
+        (nuSIprop.hpp:383-405)."""
+        if i is None and j is None:
+            if not self._require_evolved():
+                return np.zeros((3, self.config.N_bins_E))
+            return np.asarray(self._result.flux_fla)
+        if not self._check_index(int(i), int(j), "flavor eigenstate"):
+            return 0.0
+        if not self._require_evolved():
+            return 0.0
+        return float(self._result.flux_fla[int(i), int(j)])
 
     def get_energies(self):
         """Energy bin centers [eV], shape (N_bins_E,)."""
         from nusiprop_tpu.models import grids
 
         return np.asarray(grids.build(self.config).E_nu)
+
+    def get_energy(self, i):
+        """Central energy of bin ``i`` [eV], with the reference's
+        out-of-range stderr-warning + 0 semantics
+        (nuSIprop.hpp:412-429)."""
+        import sys
+
+        N = self.config.N_bins_E
+        if i < 0:
+            sys.stderr.write(
+                f"You asked for the energy at the bin {i}<0! "
+                f"Zero will be returned.\n")
+            return 0.0
+        if i >= N:
+            sys.stderr.write(
+                f"You asked for the energy at the bin {i}, but there "
+                f"are only {N} bins! Zero will be returned.\n")
+            return 0.0
+        return float(self.get_energies()[int(i)])
 
     def get_N_bins_E(self):
         return self.config.N_bins_E

@@ -52,6 +52,14 @@ PI = math.pi
 # memory; runtime cost is unchanged (elementwise work, same total).
 _PP_CHUNK = 8192
 
+# phi-phi alpha build strategy: "grid" evaluates the 3-D spline
+# separably over the (state, source-bin) x separation tensor grid that
+# the log-uniform energy grid induces (alpha_pp_grid — two small MXU
+# matmuls instead of a 64-point gather stencil per pair; the TPU
+# production path); "pairs" is the general per-query oracle
+# (alpha_pp_val per pair). Tests flip this to cross-validate.
+_PP_BUILD = "grid"
+
 
 def scalar_width(g, mphi, majorana: bool):
     """Scalar decay width (nuSIprop.hpp:748-757)."""
@@ -245,6 +253,16 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
         ga = ga * width_factor
     N = Em.shape[0]
     mn_c = mn[:, None]
+    if channel == "pp" and _PP_BUILD == "grid":
+        # Separable spline build (alpha_pp_grid docstring); the g^4
+        # grouping matches kernels_nr.alpha_pp exactly.
+        tot3 = alpha_pp_grid(Em, Ep, mn, mphi, majorana=majorana,
+                             pp_tables=pp_tables)          # (3, N, N)
+        tot3 = ((g * g) * (g * g)) * tot3
+        tot3 = tot3 / (2.0 * mn_c[..., None])
+        if Wf is None:
+            return tot3
+        return jnp.sum(Wf[:, None, None] * tot3, axis=0)
     # Only the strict upper triangle (source bin above target bin) is
     # physical — evaluate the transcendental-heavy channels on the
     # flattened N(N-1)/2 pairs and scatter, HALVING the dominant cost of
@@ -289,6 +307,133 @@ def alpha_table(Em, Ep, mn, g, mphi, Wf, *, majorana, non_resonant, phiphi,
     return out.at[rows, cols].set(res)
 
 
+def alpha_pp_grid(Em, Ep, mn, mphi, *, majorana, pp_tables):
+    """Normalized phi-phi bin-to-bin channel as a dense (3, N, N)
+    strict-upper table (rows = target bin, cols = source bin), WITHOUT
+    the g^4 coupling and the 1/(2 mn) weighting — built SEPARABLY.
+
+    The per-pair path (alpha_pp_norm) evaluates a 64-point 3-D spline
+    stencil per (target, source) pair: ~N^2/2 x 3 states x batch
+    gather-stencils, the dominant op count of a phi-phi evolve. But on
+    the engine's log-uniform grids the reference's lookup coordinates
+    (nuSIprop.hpp:1483) collapse onto a separable tensor grid:
+
+      * axis 2, log10(delta): delta = Ep'/Em' is the bin-edge ratio —
+        ONE value for the whole table (the z-grid coupling trick,
+        nuSIprop.hpp:124, requires exactly this log-uniformity);
+      * axis 1, n = log(sminus'/|tminus|)/log(delta) * 1.0001: since
+        Em[col]/Em[row] = delta^(col-row), n = (col-row) * 1.0001 —
+        it depends only on the bin SEPARATION d = 1..N-1;
+      * axis 0, sminus' = 2 mn Em[col]/mphi^2: per (state, col).
+
+    So the whole spline table evaluates axis by axis: contract axis 2
+    once (4 planes), fold axis 1 into a dense (n1, N-1) matrix with one
+    one-hot matmul, fold axis 0 with a second one-hot matmul per
+    (state, col) — all MXU work in the table-values dtype — and shear
+    the (state, col, separation) result onto (state, row, col) with a
+    single O(N^2) gather. The analytic large-s tails
+    (kernels_nr.alpha_pp_tail) stay elementwise f64, selected per
+    column exactly as alpha_pp_val selects them.
+
+    Fidelity note vs the per-pair path: alpha_pp_val floors |tminus| at
+    1e-8 (and applies the near -1 shift) inside its n coordinate, which
+    perturbs n for at most the one row per (state, batch point) whose
+    |tminus| straddles the floor; the reference itself uses the raw
+    coordinates (where n IS d * 1.0001 on its grids,
+    xsec/tables_phiphi.py:43-50), so the separable path is the MORE
+    faithful one there. Everything else (clamps, edge snapping, |.| on
+    the spline value, the s > 4 threshold, the tail regimes, the
+    Majorana/Dirac multiplicity) matches per-pair semantics exactly;
+    tests/test_pp_grid.py gates grid-vs-pairs at table and flux level.
+    """
+    from nusiprop_tpu.models import kernels_nr
+    from nusiprop_tpu.models.kernels_nr import (_COORD_FLOOR, _floor_s,
+                                                _floor_t)
+
+    spl = None if pp_tables is None else pp_tables.alpha
+    dt = jnp.float64 if spl is None else spl.values.dtype
+    N = Em.shape[0]
+    mn_c = mn[:, None]
+    smp = 2.0 * mn_c * Em[None, :] / (mphi * mphi)     # (3, N) source
+    spp = 2.0 * mn_c * Ep[None, :] / (mphi * mphi)
+    tm = _shift_near_minus1(-2.0 * mn_c * Em[None, :] / (mphi * mphi))
+    tp = _shift_near_minus1(-2.0 * mn_c * Ep[None, :] / (mphi * mphi))
+
+    idx = jnp.arange(N)
+    dmat = idx[None, :] - idx[:, None]                 # (N, N)
+    smp_s = jnp.maximum(_floor_s(smp), 4.0 + 1e-12)    # (3, N)
+    if spl is None:
+        # tables absent: analytic tails everywhere, like alpha_pp_val
+        interp_rc = None
+        col_spline = jnp.zeros((3, 1, N), dtype=bool)
+    else:
+        interp_rc, col_spline = _pp_spline_grid(spl, Em, Ep, smp_s, N, dt)
+
+    # ---- analytic tails (elementwise f64, dense) ----
+    tm_f = _floor_t(tm)[:, :, None]                    # target rows
+    tp_f = _floor_t(tp)[:, :, None]
+    spp_s = jnp.maximum(_floor_s(spp), smp_s * (1.0 + 1e-12))
+    tail = kernels_nr.alpha_pp_tail(tm_f, tp_f,
+                                    smp_s[:, None, :], spp_s[:, None, :])
+
+    val = (tail.astype(dt) if interp_rc is None
+           else jnp.where(col_spline, interp_rc, tail.astype(dt)))
+    ok = ((-tp >= _COORD_FLOOR)[:, :, None]
+          & (spp >= _COORD_FLOOR)[:, None, :]
+          & (smp > 4.0)[:, None, :]
+          & (dmat >= 1)[None, :, :])
+    mult = jnp.asarray(8.0 if majorana else 2.0, dt)
+    return jnp.where(ok, mult * val, jnp.zeros((), dt))
+
+
+def _pp_spline_grid(spl, Em, Ep, smp_s, N, dt):
+    """Separable 3-D spline evaluation for alpha_pp_grid: returns
+    (interp values sheared to (3, row, col), per-column spline-regime
+    mask)."""
+    # axis 2: one log10(delta) for the whole log-uniform grid
+    l10d = jnp.log10(Ep[0] / Em[0])
+    k3, p3 = spl.axis_index_weights(2, l10d)           # scalar, (4,)
+    n1, n2, n3 = spl.values.shape
+    # eval clamps base+3 to n3-1 against a zero 4th weight at the right
+    # edge (interp.axis_index_weights docstring); a dynamic_slice can't
+    # overhang, so shift the slice start back instead and realign the
+    # weights — the dropped overhanging weight is exactly the zero one.
+    start = jnp.minimum(k3, n3 - 4)
+    o3 = k3 - start                                    # 0 or 1
+    V2 = lax.dynamic_slice_in_dim(spl.values, start, 4, axis=2)
+    p3s = jnp.zeros(5, dtype=p3.dtype).at[o3 + jnp.arange(4)].set(p3)[:4]
+    V2 = jnp.tensordot(V2, p3s.astype(dt), axes=([2], [0]))  # (n1, n2)
+
+    # axis 1: n = d * 1.0001 for separations d = 1..N-1
+    d = jnp.arange(1, N, dtype=jnp.float64)
+    k2, p2 = spl.axis_index_weights(1, d * 1.0001)     # (N-1,), (4, N-1)
+    iota2 = jnp.arange(n2, dtype=jnp.int32)[:, None]
+    W2 = jnp.zeros((n2, N - 1), dtype=dt)
+    for o in range(4):
+        W2 = W2 + jnp.where(iota2 == (k2 + o)[None, :],
+                            p2[o].astype(dt)[None, :], 0.0)
+    M = jnp.dot(V2, W2, precision=lax.Precision.HIGHEST)  # (n1, N-1)
+
+    # axis 0: sminus' per (state, col), same clamp as alpha_pp_val
+    k1, p1 = spl.axis_index_weights(0, smp_s)          # (3, N), (4, 3, N)
+    iota1 = jnp.arange(n1, dtype=jnp.int32)
+    W1 = jnp.zeros((3, N, n1), dtype=dt)
+    for o in range(4):
+        W1 = W1 + jnp.where(iota1[None, None, :] == (k1 + o)[..., None],
+                            p1[o].astype(dt)[..., None], 0.0)
+    R = jnp.dot(W1.reshape(3 * N, n1), M,
+                precision=lax.Precision.HIGHEST).reshape(3, N, N - 1)
+    R = jnp.abs(R)  # |.| on the spline value (nuSIprop.hpp:1483)
+
+    # shear (state, col, d-1) -> (state, row, col): d = col - row
+    idx = jnp.arange(N)
+    dmat = idx[None, :] - idx[:, None]                 # (N, N)
+    Rp = jnp.concatenate([jnp.zeros((3, N, 1), dtype=dt), R], axis=2)
+    interp_rc = Rp[:, idx[None, :], jnp.clip(dmat, 0, N - 1)]  # (3, N, N)
+    col_spline = (smp_s < 1e4)[:, None, :]
+    return interp_rc, col_spline
+
+
 def alpha_pp_table_norm(Em, Ep, mn, mphi, Wf, *, majorana, pp_tables):
     """NORMALIZED phi-phi alpha channel table: alpha_table(channel="pp")
     WITHOUT the g^4 coupling prefactor, in the spline-values dtype.
@@ -309,6 +454,15 @@ def alpha_pp_table_norm(Em, Ep, mn, mphi, Wf, *, majorana, pp_tables):
 
     N = Em.shape[0]
     mn_c = mn[:, None]
+    if _PP_BUILD == "grid":
+        tot3 = alpha_pp_grid(Em, Ep, mn, mphi, majorana=majorana,
+                             pp_tables=pp_tables)          # (3, N, N)
+        if Wf is None:  # per-state (3, N, N) for general couplings
+            return jnp.asarray(1.0 / (2.0 * mn_c[..., None]),
+                               tot3.dtype) * tot3
+        w_e = jnp.asarray(Wf[:, None, None] / (2.0 * mn_c[..., None]),
+                          tot3.dtype)
+        return jnp.sum(w_e * tot3, axis=0)                 # (N, N)
     rows, cols = _np.triu_indices(N, k=1)
     rows = jnp.asarray(rows)
     cols = jnp.asarray(cols)

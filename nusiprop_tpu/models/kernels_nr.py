@@ -847,20 +847,13 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
     )
 
 
-def alpha_pp_val(tm, tp, smp, spp, *, pp_tables):
-    """Normalized double-scalar-production bin-to-bin value: the 3-D
-    spline for sminus' in (4, 1e4) and the analytic Taylor tails above
-    (three regimes in the target-bin limits, nuSIprop.hpp:1487-1492) —
-    WITHOUT the g^4 coupling, the Majorana/Dirac multiplicity, or the
-    s > 4 threshold zeroing (those are alpha_pp's).
-
-    Dtype-following: the 64-point stencil contraction of the spline
-    eval follows the table-values dtype (ops/interp.SplineND.astype),
-    so f32-cast tables run the dominant op count of the pp channel in
-    native f32 on TPU; coordinates and the closed-form tails stay f64
-    and are cast at the join."""
-    smp_s = jnp.maximum(smp, 4.0 + 1e-12)
-    spp_s = jnp.maximum(spp, smp_s * (1.0 + 1e-12))
+def alpha_pp_tail(tm, tp, smp_s, spp_s):
+    """Analytic large-s Taylor tails of the normalized phi-phi alpha
+    value: the three regimes in the target-bin limits
+    (nuSIprop.hpp:1487-1492). Pure elementwise f64; callers supply
+    already-floored coordinates (``smp_s >= 4``, ``spp_s > smp_s``) and
+    select this only where ``smp_s >= 1e4`` (alpha_pp_val,
+    kernels.alpha_pp_grid)."""
     lsm, lsp = _ln(smp_s), _ln(spp_s)
     s2m, s2p = smp_s * smp_s, spp_s * spp_s
     mtm = jnp.maximum(-tm, _TINY)
@@ -924,7 +917,31 @@ def alpha_pp_val(tm, tp, smp, spp, *, pp_tables):
         + (-1.0 - tm) * base3 / (128.0 * PI * smp_s * spp_s)
     )
 
-    tail = jnp.where(tm < -1.0, tail1, jnp.where(tp < -1.0, tail2, tail3))
+    return jnp.where(tm < -1.0, tail1, jnp.where(tp < -1.0, tail2, tail3))
+
+
+def alpha_pp_val(tm, tp, smp, spp, *, pp_tables):
+    """Normalized double-scalar-production bin-to-bin value: the 3-D
+    spline for sminus' in (4, 1e4) and the analytic Taylor tails above
+    (three regimes in the target-bin limits, nuSIprop.hpp:1487-1492) —
+    WITHOUT the g^4 coupling, the Majorana/Dirac multiplicity, or the
+    s > 4 threshold zeroing (those are alpha_pp's).
+
+    Dtype-following: the 64-point stencil contraction of the spline
+    eval follows the table-values dtype (ops/interp.SplineND.astype),
+    so f32-cast tables run the dominant op count of the pp channel in
+    native f32 on TPU; coordinates and the closed-form tails stay f64
+    and are cast at the join.
+
+    NOTE: this is the general per-query path. For whole bin-to-bin
+    tables on the engine's log-uniform grids, kernels.alpha_pp_grid
+    evaluates the same spline separably (axis-by-axis matmuls instead
+    of a 64-point gather stencil per pair) — the TPU production path.
+    """
+    smp_s = jnp.maximum(smp, 4.0 + 1e-12)
+    spp_s = jnp.maximum(spp, smp_s * (1.0 + 1e-12))
+    mtm = jnp.maximum(-tm, _TINY)
+    tail = alpha_pp_tail(tm, tp, smp_s, spp_s)
 
     if pp_tables is not None:
         delta = spp_s / smp_s

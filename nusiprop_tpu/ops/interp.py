@@ -140,6 +140,45 @@ class SplineND:
         """
         return dataclasses.replace(self, values=self.values.astype(dtype))
 
+    def axis_index_weights(self, i, coords):
+        """Stencil base index and 4-node polynomial weights along axis
+        ``i`` at raw (pre-log) coordinates.
+
+        Returns ``(base, p)`` with ``base`` of ``coords``' shape and
+        ``p`` of shape ``(4,) + coords.shape`` (float64): the axis-``i``
+        contribution to ``eval``'s tensor-product contraction,
+        ``f = sum_o p[o] * values[..., base + o, ...]``.
+
+        Exposed so callers whose queries form a separable grid (one
+        coordinate list per axis) can contract axis by axis — each a
+        small dense matmul — instead of gathering the full 4^N stencil
+        per query point (the phi-phi kernel builders, kernels.py).
+        Semantics (log reparametrization, clamping, edge snapping,
+        base-index rule) are exactly ``eval``'s, which calls this.
+        """
+        x = self.nodes[i]
+        c = jnp.asarray(coords, dtype=jnp.float64)
+        c = jnp.log(jnp.maximum(c, 1e-300)) if self.log_axes[i] else c
+        c = jnp.clip(c, x[0], x[-1])
+        n = x.shape[0]
+        if self.regular:
+            k = jnp.floor((c - x[0]) / (x[1] - x[0])).astype(jnp.int32)
+            # same edge snapping as interp.hpp:369-373
+            k = jnp.where(c < x[1], 0, k)
+            k = jnp.where(c > x[n - 2], n - 2, k)
+        else:
+            k = jnp.clip(jnp.searchsorted(x, c, side="right") - 1,
+                         0, n - 2)
+        t = (c - x[k]) / (x[k + 1] - x[k])
+        W = self.weights[i][:, :, k]                       # (4, 4, ...)
+        p = ((W[:, 0] * t + W[:, 1]) * t + W[:, 2]) * t + W[:, 3]
+        # idx_min (interp.hpp:394-404): k at the left edge, else k-1.
+        # The 4th stencil row is only populated for interior k, so a
+        # fixed 4-offset gather with index clamping is exact: the
+        # clamped (out-of-range) node meets a zero weight.
+        base = jnp.where(k == 0, k, k - 1)
+        return base, p
+
     def eval(self, *coords):
         """Interpolate at broadcastable coordinate arrays (one per axis).
 
@@ -148,41 +187,14 @@ class SplineND:
         """
         coords = [jnp.asarray(c, dtype=jnp.float64) for c in coords]
         coords = list(jnp.broadcast_arrays(*coords))
-        ks, ts = [], []
-        for i in range(self.ndim):
-            x = self.nodes[i]
-            c = jnp.log(jnp.maximum(coords[i], 1e-300)) if self.log_axes[i] \
-                else coords[i]
-            c = jnp.clip(c, x[0], x[-1])
-            n = x.shape[0]
-            if self.regular:
-                k = jnp.floor((c - x[0]) / (x[1] - x[0])).astype(jnp.int32)
-                # same edge snapping as interp.hpp:369-373
-                k = jnp.where(c < x[1], 0, k)
-                k = jnp.where(c > x[n - 2], n - 2, k)
-            else:
-                k = jnp.clip(jnp.searchsorted(x, c, side="right") - 1,
-                             0, n - 2)
-            t = (c - x[k]) / (x[k + 1] - x[k])
-            ks.append(k)
-            ts.append(t)
-
         # per-axis polynomial weights of the 4 stencil offsets; the
         # contraction below follows the VALUES dtype (astype docstring),
         # so the weights are cast here — a no-op for f64 tables.
         polys, bases = [], []
         for i in range(self.ndim):
-            x = self.nodes[i]
-            n = x.shape[0]
-            k, t = ks[i], ts[i]
-            W = self.weights[i][:, :, k]                   # (4, 4, ...)
-            p = ((W[:, 0] * t + W[:, 1]) * t + W[:, 2]) * t + W[:, 3]
-            # idx_min (interp.hpp:394-404): k at the left edge, else k-1.
-            # The 4th stencil row is only populated for interior k, so a
-            # fixed 4-offset gather with index clamping is exact: the
-            # clamped (out-of-range) node meets a zero weight.
+            base, p = self.axis_index_weights(i, coords[i])
             polys.append(p.astype(self.values.dtype))      # (4, ...)
-            bases.append(jnp.where(k == 0, k, k - 1))
+            bases.append(base)
 
         # gather the 4^N stencil and contract
         res = 0.0

@@ -145,12 +145,26 @@ def checkpointed_grid_scan(params: PhysicsParams, cfg: Config, path,
         if progress:
             progress(c + 1, n_chunks)
 
-    parts = [np.load(f"{path}.chunk{c:05d}.npz") for c in range(n_chunks)]
-    out = {
-        "flux": np.concatenate([p["flux"] for p in parts]),
-        "flux_fla": np.concatenate([p["flux_fla"] for p in parts]),
-        "E_nu": parts[0]["E_nu"],
-    }
+    # merge incrementally into preallocated output arrays: peak memory is
+    # the final result + ONE chunk, not 2x the result (pod-scale grids
+    # produce many GB of spectra; loading every chunk at once is a trap)
+    out = None
+    pos = 0
+    for c in range(n_chunks):
+        with np.load(f"{path}.chunk{c:05d}.npz") as p:
+            if out is None:
+                out = {
+                    "flux": np.empty((batch,) + p["flux"].shape[1:],
+                                     dtype=p["flux"].dtype),
+                    "flux_fla": np.empty((batch,) + p["flux_fla"].shape[1:],
+                                         dtype=p["flux_fla"].dtype),
+                    "E_nu": np.asarray(p["E_nu"]),
+                }
+            n = p["flux"].shape[0]
+            out["flux"][pos:pos + n] = p["flux"]
+            out["flux_fla"][pos:pos + n] = p["flux_fla"]
+            pos += n
+    assert pos == batch, (pos, batch)
     np.savez(path, **out)
     for c in range(n_chunks):
         os.remove(f"{path}.chunk{c:05d}.npz")

@@ -160,3 +160,37 @@ def test_masses_bisection():
     mn = np.asarray(mass_spectrum(float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3)), True))
     assert mn[0] < 1e-9
     assert mn[0] > 0
+
+
+def test_per_index_getters(capsys):
+    """get_flux(i,j)/get_flux_fla(i,j)/get_energy(i): scalar access with
+    the reference's out-of-range stderr warning + return-0 semantics
+    (nuSIprop.hpp:359-429)."""
+    ev = nu.Evolver(**GOLDEN_KW).evolve()
+    flux = ev.get_flux()
+    fla = ev.get_flux_fla()
+    E = ev.get_energies()
+    assert ev.get_flux(1, 7) == flux[1, 7]
+    assert ev.get_flux_fla(2, 0) == fla[2, 0]
+    assert ev.get_energy(3) == E[3]
+    capsys.readouterr()
+    # out-of-range: 0 + a stderr warning, one case per check branch
+    for call, frag in [
+        (lambda: ev.get_flux(3, 0), "mass eigenstate 3"),
+        (lambda: ev.get_flux_fla(-1, 0), "flavor eigenstate -1"),
+        (lambda: ev.get_flux(0, -2), "energy bin -2"),
+        (lambda: ev.get_flux_fla(0, 40), "only 40 bins"),
+        (lambda: ev.get_energy(-1), "bin -1"),
+        (lambda: ev.get_energy(41), "only 40 bins"),
+    ]:
+        assert call() == 0.0
+        err = capsys.readouterr().err
+        assert frag in err and "Zero will be returned" in err, (frag, err)
+
+
+def test_per_index_getters_unevolved(capsys):
+    ev = nu.Evolver(**GOLDEN_KW)
+    with pytest.warns(UserWarning, match="not evolved"):
+        assert ev.get_flux(0, 0) == 0.0
+    with pytest.warns(UserWarning, match="not evolved"):
+        assert ev.get_flux_fla(1, 2) == 0.0

@@ -141,3 +141,29 @@ def test_nonresonant_f32_march_sharded_matches_unsharded():
     res = sharded_grid_scan(params, cfg)
     np.testing.assert_allclose(np.asarray(res.flux_fla),
                                np.asarray(ref.flux_fla), rtol=1e-12)
+
+
+def test_sharded_scan_with_pp_tables():
+    """The reference's FULL channel set under sharding: non-resonant +
+    phi-phi via the interpolation tables (nuSIprop.hpp:166-170). The
+    tables replicate onto every device; the batch stays sharded. Result
+    must match the unsharded scan bit-for-bit (same program, same
+    data, different placement)."""
+    from pathlib import Path
+
+    from nusiprop_tpu.models import pp_tables as ppt
+
+    tables = ppt.load_npz(str(Path(__file__).resolve().parents[1]
+                              / "data" / "pp_tables_small.npz"))
+    cfg_pp = Config(N_bins_E=24, lEmin=9.0, lEmax=14.0, non_resonant=True,
+                    phiphi=True, source="powerlaw")
+    params = nu.param_grid(np.geomspace(1e5, 1e7, 8), [0.03],
+                           mntot=0.1, si=2.5, norm=1.0)
+    res = sharded_grid_scan(params, cfg_pp, pp_tables=tables)
+    assert res.flux_fla.shape == (8, 3, 24)
+    assert bool(np.isfinite(np.asarray(res.flux_fla)).all())
+    ref = nu.grid_scan(params, cfg_pp, pp_tables=tables)
+    # per-shard batch shapes change XLA's fusion/reduction association
+    # (same bound as test_phiphi_sharded_matches_unsharded)
+    np.testing.assert_allclose(np.asarray(res.flux_fla),
+                               np.asarray(ref.flux_fla), rtol=1e-10)
