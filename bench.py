@@ -228,12 +228,13 @@ def main():
             _tables = _ppt.load_default()
             _pp_run = lambda cfg: (
                 lambda p: nu.grid_scan(p, cfg, pp_tables=_tables).flux)
-            # Batch 8, not nr_batch: the 500-bin pp alpha program at
-            # batch 64 faults the TPU device even after the lax.map
-            # pair-chunking fixed its compiler crash (UNAVAILABLE at
-            # materialization, reproducible; batch 8 verified OK).
+            # Batch 32: the measured sweet spot of the separable
+            # (grid) pp alpha build — see BENCH_NOTES round 3. (The
+            # round-2 per-pair 64-point-stencil build faulted the
+            # device at batch 64 and ran batch 8; the grid build
+            # killed that program entirely.)
             regimes.append(("phiphi", _cfg(True, "auto", phiphi=True),
-                            int(os.environ.get("BENCH_PP_BATCH", "8")),
+                            int(os.environ.get("BENCH_PP_BATCH", "32")),
                             1e-3, KEY_PP, _pp_run))
         regimes.append(("s_channel_f64", _cfg(False, "rank1"), 256, 1e-2,
                         KEY_S, None))

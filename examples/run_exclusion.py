@@ -15,9 +15,21 @@ detectable window (6 decades below peak) — so the contour answers
 "which couplings would have visibly distorted a standard-DSNB
 measurement".
 
+Quick mode (default): s-channel-only, 100 bins — seconds anywhere.
+
+Production mode (--production): the reference's DEFAULT configuration —
+non_resonant=True AND phiphi=True (every channel the reference enables,
+nuSIprop.hpp:166-170), >=300 bins over the Evolver-default high-energy
+window — run as batched chunked launches. This is the regime the serial
+reference would grind through at ~0.5-0.7 s/point x grid; here it is a
+few compiled launches (see BENCH_NOTES.md "production exclusion scan").
+
 Run: python examples/run_exclusion.py [n_mphi] [n_g] [contour_out.txt]
+     python examples/run_exclusion.py --production [n_mphi] [n_g] [out]
+                                      [--bins N] [--chunk B] [--sharded]
 """
 
+import argparse
 import pathlib
 import sys
 import time
@@ -28,39 +40,102 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import nusiprop_tpu as nu
 
-n_mphi = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-n_g = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-out_path = sys.argv[3] if len(sys.argv) > 3 else None
+ap = argparse.ArgumentParser()
+ap.add_argument("n_mphi", nargs="?", type=int, default=None)
+ap.add_argument("n_g", nargs="?", type=int, default=None)
+ap.add_argument("out_path", nargs="?", default=None)
+ap.add_argument("--production", action="store_true",
+                help="reference-default channel set (non_resonant + "
+                     "phiphi) at production resolution")
+ap.add_argument("--bins", type=int, default=None,
+                help="energy bins [quick: 100, production: 300]")
+ap.add_argument("--chunk", type=int, default=64,
+                help="points per compiled launch in production mode "
+                     "(64 = the warm TPU batch shape)")
+ap.add_argument("--sharded", action="store_true",
+                help="shard each chunk over all visible devices")
+ap.add_argument("--f32-tables", action="store_true",
+                help="force the f32 quadrature alpha build (production "
+                     "TPU resolution picks it automatically; this flag "
+                     "is for coarse-grid CPU smoke runs, where it skips "
+                     "the very slow LLVM compiles of the batched f64 "
+                     "closed-form channel programs)")
+args = ap.parse_args()
+
+n_mphi = args.n_mphi if args.n_mphi is not None else (16 if args.production
+                                                      else 32)
+n_g = args.n_g if args.n_g is not None else (16 if args.production else 24)
+out_path = args.out_path
 
 SIGMA_DEX = 0.1          # mock per-bin uncertainty on log10 flux
 GATE_DECADES = 6.0       # detectable window below the spectral peak
 DCHI2_90 = 4.61          # 90% CL, 2 degrees of freedom
 
-cfg = nu.Config(N_bins_E=100, lEmin=4.0, lEmax=9.0, zmax=5.0,
-                non_resonant=False, phiphi=False)
+if args.production:
+    # The reference's default channel set at its default high-energy
+    # window (Evolver defaults lEmin=12, lEmax=17; nuSIprop.hpp:61-68):
+    # non-resonant t/u/interference channels + spline-backed phi-phi.
+    cfg = nu.Config(N_bins_E=args.bins or 300, lEmin=12.0, lEmax=17.0,
+                    zmax=5.0, non_resonant=True, phiphi=True,
+                    table_dtype="f32" if args.f32_tables else "auto")
+    from nusiprop_tpu.models import pp_tables as _ppt
+
+    tables = _ppt.load_default()
+else:
+    cfg = nu.Config(N_bins_E=args.bins or 100, lEmin=4.0, lEmax=9.0,
+                    zmax=5.0, non_resonant=False, phiphi=False)
+    tables = None
 mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
 
 # mock observation: free-streaming limit (coupling too weak to matter)
 fs = nu.evolve(nu.PhysicsParams.create(5e6, 1e-12, mntot, 2.0, 6.0),
-               cfg)
+               cfg, pp_tables=tables)
 obs = np.asarray(fs.flux_fla).sum(axis=0)        # observed nu+x flux
 gate = obs > obs.max() * 10.0 ** (-GATE_DECADES)
 log_obs = np.log10(np.where(gate, obs, 1.0))
 print(f"# mock observation: standard DSNB, {int(gate.sum())} gated bins,"
       f" sigma = {SIGMA_DEX} dex")
 
-# the s-channel resonance E = mphi^2 / (2 m_nu) sweeps the DSNB window
-# (1e4-1e9 eV) for mphi ~ 30-1e4 eV; beyond that the spectrum is
-# untouched and the exclusion cliff appears (~3e3 eV here)
-mphi_vals = np.geomspace(1e2, 1e4, n_mphi)
-g_vals = np.geomspace(1e-11, 1e-5, n_g)
+# the s-channel resonance E = mphi^2 / (2 m_nu) sweeps the energy
+# window: mphi ~ 30-1e4 eV for the DSNB window (quick mode), and
+# ~1e5-3e8 eV for the production high-energy window
+if args.production:
+    mphi_vals = np.geomspace(3e5, 1e8, n_mphi)
+    g_vals = np.geomspace(1e-9, 1e-3, n_g)
+else:
+    mphi_vals = np.geomspace(1e2, 1e4, n_mphi)
+    g_vals = np.geomspace(1e-11, 1e-5, n_g)
 params = nu.param_grid(mphi_vals=mphi_vals, g_vals=g_vals,
                        mntot=mntot, si=2.0, norm=6.0)
 n = params.mphi.shape[0]
-print(f"# scanning {n} (mphi, g) points, {cfg.N_bins_E} bins")
+print(f"# scanning {n} (mphi, g) points, {cfg.N_bins_E} bins, "
+      f"channels: {'non_resonant+phiphi (reference default)' if args.production else 's only'}")
 
 t0 = time.perf_counter()
-flx = np.asarray(nu.grid_scan(params, cfg).flux_fla).sum(axis=1)
+if args.production:
+    import jax
+
+    # chunked launches: every chunk reuses ONE compiled batch shape
+    # (the warm TPU shape is 64); pad the tail by repeating the last
+    # point. --sharded additionally splits each chunk over the mesh.
+    B = max(1, min(args.chunk, n))
+    outs = []
+    for c0 in range(0, n, B):
+        chunk = jax.tree.map(lambda x: x[c0:c0 + B], params)
+        pad = B - int(chunk.mphi.shape[0])
+        if pad:
+            chunk = jax.tree.map(
+                lambda x: np.concatenate([x, np.repeat(x[-1:], pad, 0)]),
+                chunk)
+        run = nu.sharded_grid_scan if args.sharded else nu.grid_scan
+        res = run(chunk, cfg, pp_tables=tables)
+        outs.append(np.asarray(res.flux_fla)[:B - pad if pad else B])
+        done = min(c0 + B, n)
+        print(f"#   {done}/{n} points, {time.perf_counter() - t0:.1f} s",
+              flush=True)
+    flx = np.concatenate(outs).sum(axis=1)
+else:
+    flx = np.asarray(nu.grid_scan(params, cfg).flux_fla).sum(axis=1)
 wall = time.perf_counter() - t0
 print(f"# grid evolve: {wall:.2f} s ({wall / n * 1e3:.1f} ms/point, "
       f"compile included)")

@@ -69,3 +69,16 @@ def test_run_fit():
     pct = float(ridge_line[0].rsplit("(", 1)[1].split("%")[0])
     assert pct < 1.0, out.stdout
     assert "Fisher eigenvalues" in out.stdout
+
+
+def test_run_exclusion_production_mode(tmp_path):
+    """The reference-default channel set (non_resonant + phiphi) as one
+    chunked batched scan — tiny grid/bins so the CPU f64 build stays
+    test-sized; the full-size production run is the recorded BENCH_NOTES
+    entry."""
+    out = _run("run_exclusion.py", "--production", "3", "4",
+               str(tmp_path / "contour.txt"), "--bins", "40",
+               "--chunk", "6", "--f32-tables", timeout=1200)
+    assert "non_resonant+phiphi (reference default)" in out.stdout
+    assert "scanning 12 (mphi, g) points" in out.stdout
+    assert "grid evolve" in out.stdout

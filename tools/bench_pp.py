@@ -2,12 +2,12 @@
 
 The pp regime (reference full channel set: non_resonant + the
 nu nu -> phi phi production channel via the interpolation tables,
-nuSIprop.hpp:166-170) is benchmarked at BENCH_PP_BATCH=8 because the
-500-bin pp alpha program at batch 64 faulted the TPU device back when
-the spline contraction ran in emulated f64 (bench.py comment). The
-native-f32 spline path (kernels.alpha_pp_table_norm + SplineND.astype)
-landed after that observation; this probe re-measures the batch
-envelope under it.
+nuSIprop.hpp:166-170) ran at BENCH_PP_BATCH=8 in round 2 because the
+per-pair 64-point-stencil pp alpha program faulted the TPU device at
+batch 64. The separable grid build (kernels.alpha_pp_grid) replaced
+that program in round 3; this probe measures the batch envelope —
+results in BENCH_NOTES.md (batch 32 is the sweet spot and the bench
+default).
 
 Each batch size runs in its OWN subprocess: a device fault (observed
 failure mode: UNAVAILABLE at materialization, which can wedge the

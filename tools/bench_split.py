@@ -72,9 +72,68 @@ def nr_split(batch):
     timeit("march only (tables precomputed)", lambda: ev(params, tables))
 
 
+def pp_split(batch):
+    """Stage split of the full-channel-set (non_resonant + phiphi)
+    trisolve_f32 evolve: which program carries the pp regime's cost."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    import nusiprop_tpu as nu
+    from nusiprop_tpu.config import Config
+    from nusiprop_tpu.models import pp_tables as ppt
+    from nusiprop_tpu.models import transport
+
+    cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=True, phiphi=True, march="auto")
+    tables = ppt.load_default()
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [1e-3],
+                           mntot=mntot, si=2.0, norm=6.0)
+    print("march:", transport._resolve_march(cfg), "batch:", batch)
+
+    def fence(x):
+        return float(jnp.sum(jnp.asarray(x, dtype=jnp.float32)))
+
+    def timeit(name, fn, reps=3):
+        jax.tree.map(fence, fn())  # warm/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.tree.map(fence, fn())
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:34s} {min(ts)*1e3:9.1f} ms", flush=True)
+
+    timeit("full grid_scan evolve",
+           lambda: nu.grid_scan(params, cfg, pp_tables=tables).flux)
+    t32 = transport._pp_f32(tables)
+    timeit("alpha pp norm (separable grid)",
+           lambda: transport._pp_norm_builder_jit(cfg, True)(params, t32))
+    for table in ("gamma", "alphatilde"):
+        for ch in transport._channels(cfg):
+            fn = transport._channel_builder_jit(cfg, table, ch, True, False)
+            arg = t32 if ch == "pp" else None
+            timeit(f"{table}:{ch}", lambda fn=fn, arg=arg: fn(params, arg))
+    timeit("alpha f32 (raw)",
+           lambda: transport._alpha_f32_builder_jit(cfg, True, True)(params))
+
+    built = transport.build_tables(params, cfg, pp_tables=tables,
+                                   batched=True)
+    jax.tree.map(fence, built)
+    ev = jax.jit(lambda p, t: jax.vmap(
+        lambda q, tt: transport.evolve_core(q, cfg, tables=tt))(p, t).flux)
+    timeit("march only (tables precomputed)", lambda: ev(params, built))
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--nr"]
+    args = [a for a in sys.argv[1:] if a not in ("--nr", "--pp")]
     batch_arg = int(args[0]) if args else None
+    if "--pp" in sys.argv[1:]:
+        pp_split(batch_arg or 32)
+        return
     if "--nr" in sys.argv[1:]:
         nr_split(batch_arg or 8)
         return
