@@ -19,10 +19,11 @@ Quick mode (default): s-channel-only, 100 bins — seconds anywhere.
 
 Production mode (--production): the reference's DEFAULT configuration —
 non_resonant=True AND phiphi=True (every channel the reference enables,
-nuSIprop.hpp:166-170), >=300 bins over the Evolver-default high-energy
-window — run as batched chunked launches. This is the regime the serial
-reference would grind through at ~0.5-0.7 s/point x grid; here it is a
-few compiled launches (see BENCH_NOTES.md "production exclusion scan").
+nuSIprop.hpp:166-170) at 500 energy bins (the BASELINE.json metric
+point) on the same DSNB science window — run as batched chunked
+launches. This is the regime the serial reference would grind through
+at ~0.65 s/point x grid; here it is a few compiled launches (recorded
+TPU wall in BENCH_NOTES.md, round 3).
 
 Run: python examples/run_exclusion.py [n_mphi] [n_g] [contour_out.txt]
      python examples/run_exclusion.py --production [n_mphi] [n_g] [out]
@@ -48,10 +49,11 @@ ap.add_argument("--production", action="store_true",
                 help="reference-default channel set (non_resonant + "
                      "phiphi) at production resolution")
 ap.add_argument("--bins", type=int, default=None,
-                help="energy bins [quick: 100, production: 300]")
-ap.add_argument("--chunk", type=int, default=64,
+                help="energy bins [quick: 100, production: 500]")
+ap.add_argument("--chunk", type=int, default=32,
                 help="points per compiled launch in production mode "
-                     "(64 = the warm TPU batch shape)")
+                     "(32 = the warm TPU batch shape and the measured "
+                     "phi-phi sweet spot, BENCH_NOTES round 3)")
 ap.add_argument("--sharded", action="store_true",
                 help="shard each chunk over all visible devices")
 ap.add_argument("--f32-tables", action="store_true",
@@ -72,10 +74,13 @@ GATE_DECADES = 6.0       # detectable window below the spectral peak
 DCHI2_90 = 4.61          # 90% CL, 2 degrees of freedom
 
 if args.production:
-    # The reference's default channel set at its default high-energy
-    # window (Evolver defaults lEmin=12, lEmax=17; nuSIprop.hpp:61-68):
-    # non-resonant t/u/interference channels + spline-backed phi-phi.
-    cfg = nu.Config(N_bins_E=args.bins or 300, lEmin=12.0, lEmax=17.0,
+    # The reference's DEFAULT channel set — non-resonant
+    # t/u/interference channels + spline-backed phi-phi
+    # (nuSIprop.hpp:166-170) — on the same DSNB science window as quick
+    # mode, at production resolution (500 bins = the BASELINE.json
+    # metric point, whose staged TPU programs are the bench-warm
+    # shapes).
+    cfg = nu.Config(N_bins_E=args.bins or 500, lEmin=4.0, lEmax=9.0,
                     zmax=5.0, non_resonant=True, phiphi=True,
                     table_dtype="f32" if args.f32_tables else "auto")
     from nusiprop_tpu.models import pp_tables as _ppt
@@ -87,24 +92,34 @@ else:
     tables = None
 mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
 
-# mock observation: free-streaming limit (coupling too weak to matter)
-fs = nu.evolve(nu.PhysicsParams.create(5e6, 1e-12, mntot, 2.0, 6.0),
-               cfg, pp_tables=tables)
-obs = np.asarray(fs.flux_fla).sum(axis=0)        # observed nu+x flux
+# mock observation: free-streaming limit (coupling too weak to matter).
+# In production mode, run it THROUGH a chunk-shaped batch so it reuses
+# the same compiled batched programs as the scan (an unbatched evolve
+# would pay its own cold TPU compile of every staged program).
+mock_p = nu.PhysicsParams.create(5e6, 1e-12, mntot, 2.0, 6.0)
+if args.production:
+    import jax as _jax
+
+    B0 = max(1, min(args.chunk, n_mphi * n_g))
+    mock_b = _jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (B0,)), mock_p)
+    fs_fla = np.asarray(
+        nu.grid_scan(mock_b, cfg, pp_tables=tables).flux_fla)[0]
+else:
+    fs_fla = np.asarray(
+        nu.evolve(mock_p, cfg, pp_tables=tables).flux_fla)
+obs = fs_fla.sum(axis=0)                         # observed nu+x flux
 gate = obs > obs.max() * 10.0 ** (-GATE_DECADES)
 log_obs = np.log10(np.where(gate, obs, 1.0))
 print(f"# mock observation: standard DSNB, {int(gate.sum())} gated bins,"
       f" sigma = {SIGMA_DEX} dex")
 
-# the s-channel resonance E = mphi^2 / (2 m_nu) sweeps the energy
-# window: mphi ~ 30-1e4 eV for the DSNB window (quick mode), and
-# ~1e5-3e8 eV for the production high-energy window
-if args.production:
-    mphi_vals = np.geomspace(3e5, 1e8, n_mphi)
-    g_vals = np.geomspace(1e-9, 1e-3, n_g)
-else:
-    mphi_vals = np.geomspace(1e2, 1e4, n_mphi)
-    g_vals = np.geomspace(1e-11, 1e-5, n_g)
+# the s-channel resonance E = mphi^2 / (2 m_nu) sweeps the DSNB window
+# (1e4-1e9 eV) for mphi ~ 30-1e4 eV; beyond that the spectrum is
+# untouched and the exclusion cliff appears (~3e3 eV here). Production
+# mode scans the same plane with every reference channel enabled.
+mphi_vals = np.geomspace(1e2, 1e4, n_mphi)
+g_vals = np.geomspace(1e-11, 1e-5, n_g)
 params = nu.param_grid(mphi_vals=mphi_vals, g_vals=g_vals,
                        mntot=mntot, si=2.0, norm=6.0)
 n = params.mphi.shape[0]

@@ -108,6 +108,21 @@ def load_default() -> PPTables:
       3. ``data/pp_tables*.npz`` next to the package; when several
          resolutions are present the largest file (finest grid) wins.
 
+    The repo ships the medium-resolution tables (1000x50 + 300x300x50;
+    end-to-end flux delta vs full resolution 1.5e-5, ~70x inside the
+    1e-3 physics gate — tools/validate_full_tables.py). Full
+    REFERENCE-resolution tables (5000x100 + 1000x1000x100,
+    xsec/tables_phiphi.py:21-59) regenerate in ~13 min on one TPU v5e
+    chip (measured 792 s, round 3):
+
+        python tools/make_tables.py --preset full --chunk 131072 \\
+               --out data/pp_tables_full.npz
+
+    after which this loader picks them up automatically (largest file
+    wins). The 800 MB artifact is .gitignored, not distributed — unlike
+    the reference, whose full tables are "available upon request"
+    (README.md:52), regeneration here is self-service.
+
     The reference exits at construction when its .bin files are missing
     (interp.hpp:203-206); we raise with the regeneration command instead.
     """

@@ -32,6 +32,17 @@ jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 
+# Pin the phi-phi tables to the shipped medium resolution for tests:
+# pp_tables.load_default() prefers the largest file in data/, and a
+# locally regenerated full-resolution table (800 MB; see
+# tools/make_tables.py) would add minutes of load time per test module
+# without changing any gated result (medium-vs-full flux delta 1.5e-5,
+# ~70x inside the physics gate — tools/validate_full_tables.py).
+_MEDIUM = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "pp_tables_medium.npz")
+if os.path.exists(_MEDIUM) and "NUSIPROP_PP_TABLES" not in os.environ:
+    os.environ["NUSIPROP_PP_TABLES"] = _MEDIUM
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jit_caches_between_modules():

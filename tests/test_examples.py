@@ -14,7 +14,12 @@ def _run(script, *args, timeout=600):
         [sys.executable, str(ROOT / "examples" / script), *args],
         capture_output=True, text=True, timeout=timeout,
         env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "HOME": "/root"},
+             "HOME": "/root",
+             # pin the shipped medium tables (same reason as
+             # conftest.py: a locally regenerated full-resolution
+             # table would dominate the example's wall time)
+             "NUSIPROP_PP_TABLES": str(ROOT / "data"
+                                       / "pp_tables_medium.npz")},
         cwd=ROOT, check=True,
     )
 

@@ -7,9 +7,13 @@ are distributed out-of-band, README.md:52). Here the integrand is a pure
 JAX closed form (``primitive``) and every table entry is a fixed-order
 composite Gauss-Legendre double integral with analytic kink-splitting at
 the kinematic boundary curve s = -t^2/(1+t); the whole grid evaluates as
-one batched device program (chunked with lax.map), so the full-resolution
-alpha table (1000 x 1000 x 100) regenerates in minutes on a TPU chip
-instead of months on a CPU core.
+batched device programs (lax.map sub-chunked so the compiler sees a
+bounded body). Measured (round 3): the FULL reference-resolution pair
+(5000x100 alphatilde + 1000x1000x100 alpha = 1.005e8 entries)
+regenerates in 13.2 min on one TPU v5e chip
+(``--preset full --chunk 131072``, warm cache; the same build is 3h08m
+on one CPU core, and the reference distributes its tables out-of-band
+rather than regenerate). Validation: tools/validate_full_tables.py.
 
 Usage:
   python tools/make_tables.py --out data/pp_tables_small.npz --preset small
@@ -22,9 +26,12 @@ integrand on sampled entries (tests/test_pp_tables.py).
 
 import argparse
 import math
+import pathlib
 import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 PI = math.pi
@@ -185,21 +192,41 @@ def generate(nt=5000, nd=100, ns=1000, nn=1000, chunk=20000,
     a_n = np.linspace(1.0, 1000.0, nn)
     a_log10d = np.linspace(0.005, 0.05, nd)
 
+    # Sub-chunk size the COMPILER sees: the jitted program lax.map's
+    # over (chunk // SUB) bodies of SUB entries each, so compile time
+    # and compiler memory are bounded by SUB while the host loop still
+    # dispatches `chunk` entries per call (amortizing the ~28 ms tunnel
+    # RTT on TPU). A flat vmap over the whole chunk at TPU-sized chunks
+    # (32k-256k entries of emulated-f64 quadrature) never finished
+    # compiling over the tunnel.
+    SUB = 4096
+
     def run_grid(fn, coords, total):
         flat = [c.reshape(-1) for c in np.meshgrid(*coords, indexing="ij")]
         out = np.empty(total, dtype=np.float64)
-        fj = jax.jit(jax.vmap(fn))
+        eff_chunk = max(SUB, (chunk // SUB) * SUB)
+        K = eff_chunk // SUB
+
+        @jax.jit
+        def fj(*args):
+            stacked = jnp.stack(
+                [a.reshape(K, SUB) for a in args], axis=1)  # (K, n_in, SUB)
+            return jax.lax.map(
+                lambda rows: jax.vmap(fn)(*[rows[i] for i in
+                                            range(len(args))]),
+                stacked).reshape(-1)
+
         n_done = 0
         while n_done < total:
-            n = min(chunk, total - n_done)
+            n = min(eff_chunk, total - n_done)
             args = [jnp.asarray(f[n_done:n_done + n]) for f in flat]
             # pad the last chunk so one compiled shape serves all chunks
-            if n < chunk:
-                args = [jnp.pad(a, (0, chunk - n)) for a in args]
+            if n < eff_chunk:
+                args = [jnp.pad(a, (0, eff_chunk - n)) for a in args]
             vals = np.asarray(fj(*args))[:n]
             out[n_done:n_done + n] = vals
             n_done += n
-            if progress and (n_done // chunk) % 50 == 0:
+            if progress and (n_done // eff_chunk) % 50 == 0:
                 print(f"  {n_done}/{total}", file=sys.stderr, flush=True)
         return out
 
