@@ -85,9 +85,9 @@ def gamma_s(sm, sp, g, mphi, ga):
     """
     gr = ga / mphi
     pref = (g * g) / (32.0 * PI * ga) * (g * g)
-    logterm = jnp.log1p(
+    logterm = sf.log1p_safe(
         mphi * mphi / (mphi * mphi + ga * ga) * sp * (sp - 2.0)
-    ) - jnp.log1p(mphi * mphi / (mphi * mphi + ga * ga) * sm * (sm - 2.0))
+    ) - sf.log1p_safe(mphi * mphi / (mphi * mphi + ga * ga) * sm * (sm - 2.0))
     d = sp - sm
     taylor = 2.0 * mphi * (
         gr * (1.0 + gr * gr + 2.0 * sm) / (1.0 + gr * gr) ** 2 * d
@@ -102,9 +102,9 @@ def alphatilde_s(tm, tp, g, mphi, ga):
     """s-channel same-bin regeneration, times mphi^4 (nuSIprop.hpp:956-965)."""
     gr = ga / mphi
     pref = (g * g) / (16.0 * PI * ga) * (g * g)
-    logterm = jnp.log1p(
+    logterm = sf.log1p_safe(
         mphi * mphi / (mphi * mphi + ga * ga) * tp * (tp + 2.0)
-    ) - jnp.log1p(mphi * mphi / (mphi * mphi + ga * ga) * tm * (tm + 2.0))
+    ) - sf.log1p_safe(mphi * mphi / (mphi * mphi + ga * ga) * tm * (tm + 2.0))
     d = tp - tm
     taylor = (
         2.0

@@ -61,7 +61,7 @@ def _log1p(x):
     # tests/test_grad.py's non-resonant gradient check). Every TAKEN
     # use site has argument >= 0 (strict-upper pair geometry), so the
     # 1e-15 floor only affects discarded branches.
-    return jnp.log1p(jnp.maximum(x, -1.0 + 1e-15))
+    return sf.log1p_safe(jnp.maximum(x, -1.0 + 1e-15))
 
 
 def _sqrt(x):
@@ -95,15 +95,15 @@ def gamma_t_u(sm, sp, g):
     sm_s = jnp.maximum(sm, _TINY)
     sp_s = jnp.maximum(sp, _TINY)
     closed = pref * (
-        2.0 * jnp.log1p(sp_s) / sp_s
-        - 2.0 * jnp.log1p(sm_s) / sm_s
-        + jnp.log1p(sp_s)
-        - jnp.log1p(sm_s)
+        2.0 * sf.log1p_safe(sp_s) / sp_s
+        - 2.0 * sf.log1p_safe(sm_s) / sm_s
+        + sf.log1p_safe(sp_s)
+        - sf.log1p_safe(sm_s)
     )
 
     def integrand(z):
         z = jnp.maximum(z, _TINY)
-        return (z + 2.0) / (z * (z + 1.0)) - 2.0 / (z * z) * jnp.log1p(z)
+        return (z + 2.0) / (z * (z + 1.0)) - 2.0 / (z * z) * sf.log1p_safe(z)
 
     rescue = pref * gl3(integrand, sm_s, sp_s)
     return jnp.where(closed < 0.0, rescue, closed)
@@ -115,14 +115,14 @@ def gamma_tu(sm, sp, g):
     sp_s = jnp.maximum(sp, _TINY)
     pref = (g * g) / (32.0 * PI * sm_s * sp_s) * (g * g)
     closed = pref * (
-        sm_s * jnp.log1p(sp_s) * (2.0 + 2.0 * sp_s + sp_s * _ln(2.0 + sp_s))
-        - sp_s * jnp.log1p(sm_s) * (2.0 + 2.0 * sm_s + sm_s * _ln(2.0 + sm_s))
+        sm_s * sf.log1p_safe(sp_s) * (2.0 + 2.0 * sp_s + sp_s * _ln(2.0 + sp_s))
+        - sp_s * sf.log1p_safe(sm_s) * (2.0 + 2.0 * sm_s + sm_s * _ln(2.0 + sm_s))
         + sm_s * sp_s * (sf.dilog1mdiff(sp_s, sm_s) + sf.dilogdiff(sp_s, sm_s))
     )
 
     def integrand(z):
         z = jnp.maximum(z, _TINY)
-        return 1.0 / z - 2.0 * (1.0 + z) / (z * z * (2.0 + z)) * jnp.log1p(z)
+        return 1.0 / z - 2.0 * (1.0 + z) / (z * z * (2.0 + z)) * sf.log1p_safe(z)
 
     rescue = (g * g) / (16.0 * PI) * (g * g) * gl3(integrand, sm_s, sp_s)
     return jnp.where(closed < 0.0, rescue, closed)
@@ -152,8 +152,8 @@ def gamma_st(sm, sp, g, gr):
     d1 = cp.where(small, d1_taylor, sf.dilogdiff_cx(z1p, z1m))
 
     gr2 = gr * gr
-    l1psp = jnp.log1p(jnp.maximum(sp, 0.0))
-    l1psm = jnp.log1p(jnp.maximum(sm, 0.0))
+    l1psp = sf.log1p_safe(jnp.maximum(sp, 0.0))
+    l1psm = sf.log1p_safe(jnp.maximum(sm, 0.0))
     pref = -(g * g) / (32.0 * PI * (1.0 + gr2)) * (g * g)
     # angle(1 - conj(z1)) = -angle(1 - z1) (z1 is never exactly real)
     return pref * (
@@ -161,11 +161,11 @@ def gamma_st(sm, sp, g, gr):
         - 2.0 * gr * d1.im
         - 2.0 * gr * cp.angle(1.0 - z1p) * l1psp
         + 2.0 * gr * cp.angle(1.0 - z1m) * l1psm
-        + jnp.log1p(4.0 / gr2) * (l1psm - l1psp)
-        + jnp.log1p((sp - 1.0) ** 2 / gr2) * l1psp
-        - jnp.log1p((sm - 1.0) ** 2 / gr2) * l1psm
+        + sf.log1p_safe(4.0 / gr2) * (l1psm - l1psp)
+        + sf.log1p_safe((sp - 1.0) ** 2 / gr2) * l1psp
+        - sf.log1p_safe((sm - 1.0) ** 2 / gr2) * l1psm
         + (1.0 + gr2)
-        * (jnp.log1p((sm - 1.0) ** 2 / gr2) - jnp.log1p((sp - 1.0) ** 2 / gr2))
+        * (sf.log1p_safe((sm - 1.0) ** 2 / gr2) - sf.log1p_safe((sp - 1.0) ** 2 / gr2))
         + 2.0 * sf.dilogdiff(sp, sm)
     )
 
@@ -323,7 +323,7 @@ def _at_t_quad(tm, tp, g, kind: str):
 def _at_t_base_dirac(tm, tp):
     """Shared t/u closed form for Dirac (nuSIprop.hpp:1010-1012, 1042-1044)."""
     return ((tm - 2.0) * (tm - tp)
-            - (tm - 1.0) * (tp - 2.0) * (jnp.log1p(-tm) - jnp.log1p(-tp)))
+            - (tm - 1.0) * (tp - 2.0) * (sf.log1p_safe(-tm) - sf.log1p_safe(-tp)))
 
 
 def alphatilde_t(tm, tp, g, *, majorana: bool):
@@ -331,7 +331,7 @@ def alphatilde_t(tm, tp, g, *, majorana: bool):
     if majorana:
         t1 = ((g * g) / (16.0 * PI * (tm - 1.0) * tp) * (g * g)) * (
             (tm - 2.0) * (tm - tp)
-            - (tm - 1.0) * (tp - 2.0) * (jnp.log1p(-tm) - jnp.log1p(-tp))
+            - (tm - 1.0) * (tp - 2.0) * (sf.log1p_safe(-tm) - sf.log1p_safe(-tp))
         )
         omt = 1.0 + tm
         t2 = ((g * g) / (16.0 * PI * omt * omt * tp) * (g * g)) * (
@@ -402,8 +402,8 @@ def alphatilde_tu(tm, tp, g, *, majorana: bool):
     dilog_combi = jnp.where(both_small, small, jnp.where(both_big, big, exact))
 
     omt = 1.0 + tm
-    l1mtm = jnp.log1p(-tm)
-    l1mtp = jnp.log1p(-tp)
+    l1mtm = sf.log1p_safe(-tm)
+    l1mtp = sf.log1p_safe(-tp)
     l1dt = _log1p(tm - tp)
     atanh1 = jnp.arctanh(1.0 / (1.0 - tp))
     atanh2 = jnp.arctanh((tm - tp) / (tm + tp - 2.0))
@@ -479,8 +479,8 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
     d_z4z3 = cp.where(small, d_z4z3_t, sf.dilogdiff_cx(z4, z3))
 
     gr2 = gr * gr
-    l1mtm = jnp.log1p(-tm)
-    l1mtp = jnp.log1p(-tp)
+    l1mtm = sf.log1p_safe(-tm)
+    l1mtp = sf.log1p_safe(-tp)
     l1dt = _log1p(tm - tp)
     pref = (g * g) / (32.0 * PI * (1.0 + gr2)) * (g * g)
 
@@ -509,14 +509,14 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
             + 2.0 * gr * PI * _ln(tp * tp)
             + 4.0 * tm * _ln(tm / tp)
             + (-l1mtp + l1mtm - l1dt)
-            * (jnp.log1p((1.0 + tp) ** 2 / gr2) + 2.0 * _ln(gr))
+            * (sf.log1p_safe((1.0 + tp) ** 2 / gr2) + 2.0 * _ln(gr))
             - l1dt * _log1p(tm * tm + 2.0 * tm)
             + 2.0 * (gr2 + tm)
-            * (jnp.log1p((1.0 + tp) ** 2 / gr2)
-               - jnp.log1p((1.0 + tm) ** 2 / gr2))
+            * (sf.log1p_safe((1.0 + tp) ** 2 / gr2)
+               - sf.log1p_safe((1.0 + tm) ** 2 / gr2))
             + 2.0 * (_ln(-tp) * (l1mtp + l1dt)
-                     + (jnp.log1p((1.0 + tp) ** 2 / gr2)
-                        - jnp.log1p((1.0 + tm) ** 2 / gr2)))
+                     + (sf.log1p_safe((1.0 + tp) ** 2 / gr2)
+                        - sf.log1p_safe((1.0 + tm) ** 2 / gr2)))
         )
     return pref * (
         gr * d_z5z1.im
@@ -529,9 +529,9 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
         + 2.0 * tm * _ln(tm / tp)
         + 2.0 * l1mtp * _ln(-tp)
         + (l1mtp - l1mtm) * (_ln(4.0 + gr2) - 2.0 * _ln(gr)
-                             - jnp.log1p((1.0 + tp) ** 2 / gr2))
-        + (1.0 + tm + gr2) * (jnp.log1p((1.0 + tp) ** 2 / gr2)
-                              - jnp.log1p((1.0 + tm) ** 2 / gr2))
+                             - sf.log1p_safe((1.0 + tp) ** 2 / gr2))
+        + (1.0 + tm + gr2) * (sf.log1p_safe((1.0 + tp) ** 2 / gr2)
+                              - sf.log1p_safe((1.0 + tm) ** 2 / gr2))
     )
 
 
@@ -671,7 +671,7 @@ def alpha_t(tm, tp, smp, spp, g, *, majorana: bool):
                   / (32.0 * PI * smp_s * spp_s * (tm - 1.0) * (tp - 1.0))
                   * (g * g)) * (smp_s - spp_s) * (
             -((tm - tp) * (2.0 + tm * (tp - 1.0) - tp))
-            - 2.0 * (tm - 1.0) * (tp - 1.0) * (jnp.log1p(-tm) - jnp.log1p(-tp))
+            - 2.0 * (tm - 1.0) * (tp - 1.0) * (sf.log1p_safe(-tm) - sf.log1p_safe(-tp))
         )
         rescue = _a_rect_quad(tm, tp, smp_s, spp_s, g, "dirac_t")
     return jnp.where(closed < 0.0, rescue, closed)
@@ -687,7 +687,7 @@ def alpha_u(tm, tp, smp, spp, g, a_t_majorana=None, *, majorana: bool):
               / (32.0 * PI * smp_s * spp_s * (tm - 1.0) * (tp - 1.0))
               * (g * g)) * (smp_s - spp_s) * (
         -((tm - tp) * (2.0 + tm * (tp - 1.0) - tp))
-        - 2.0 * (tm - 1.0) * (tp - 1.0) * (jnp.log1p(-tm) - jnp.log1p(-tp))
+        - 2.0 * (tm - 1.0) * (tp - 1.0) * (sf.log1p_safe(-tm) - sf.log1p_safe(-tp))
     )
     rescue = _a_rect_quad(tm, tp, smp_s, spp_s, g, "dirac_u")
     return jnp.where(closed < 0.0, rescue, closed)
@@ -723,7 +723,7 @@ def alpha_tu(tm, tp, smp, spp, g, *, majorana: bool):
     l1p_abs_tm = jnp.where(tm > -1.0, _log1p(tm), _ln(-1.0 - tm))
 
     omtm, omtp = 1.0 + tm, 1.0 + tp
-    l1mtm, l1mtp = jnp.log1p(-tm), jnp.log1p(-tp)
+    l1mtm, l1mtp = sf.log1p_safe(-tm), sf.log1p_safe(-tp)
     lsm, lsp = _ln(smp_s), _ln(spp_s)
     l_sm_tm = _log1p(smp_s + tm)
     l_sp_tm = _log1p(spp_s + tm)
@@ -772,9 +772,9 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
             2.0 * gr * jnp.arctan2(gr, smp_s - 1.0)
             - 2.0 * gr * jnp.arctan2(gr, spp_s - 1.0)
             + 2.0 * _ln(smp_s) - 2.0 * _ln(spp_s)
-            + jnp.log1p((spp_s - 1.0) ** 2 / gr2)
-            - jnp.log1p((smp_s - 1.0) ** 2 / gr2)
-        ) * (tm - tp + jnp.log1p(-tm) - jnp.log1p(-tp))
+            + sf.log1p_safe((spp_s - 1.0) ** 2 / gr2)
+            - sf.log1p_safe((smp_s - 1.0) ** 2 / gr2)
+        ) * (tm - tp + sf.log1p_safe(-tm) - sf.log1p_safe(-tp))
 
     # Complex pieces on (re, im) pairs — no complex dtypes (TPU).
     shape = jnp.broadcast_shapes(jnp.shape(tm), jnp.shape(smp_s))
@@ -828,21 +828,21 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
         + 2.0 * gr * (arg_inv_tp - arg_sp_tp) * l_sp_tp
         - 2.0 * gr * (arg_inv_tp - arg_sm_tp) * l_sm_tp
         + 2.0 * (gr * arg_sm - gr * arg_sp
-                 + jnp.log1p((spp_s - 1.0) ** 2 / gr2) / 2.0
-                 - jnp.log1p((smp_s - 1.0) ** 2 / gr2) / 2.0
+                 + sf.log1p_safe((spp_s - 1.0) ** 2 / gr2) / 2.0
+                 - sf.log1p_safe((smp_s - 1.0) ** 2 / gr2) / 2.0
                  + _ln(smp_s) - _ln(spp_s))
-        * (2.0 * (tm - tp) + (jnp.log1p(-tm) - jnp.log1p(-tp)))
-        + l_sm_tm * (jnp.log1p((smp_s - 1.0) ** 2 / gr2)
-                     - jnp.log1p((2.0 + tm) ** 2 / gr2)
+        * (2.0 * (tm - tp) + (sf.log1p_safe(-tm) - sf.log1p_safe(-tp)))
+        + l_sm_tm * (sf.log1p_safe((smp_s - 1.0) ** 2 / gr2)
+                     - sf.log1p_safe((2.0 + tm) ** 2 / gr2)
                      - 2.0 * (_ln(smp_s) - labs_tm))
-        - l_sp_tm * (jnp.log1p((spp_s - 1.0) ** 2 / gr2)
-                     - jnp.log1p((2.0 + tm) ** 2 / gr2)
+        - l_sp_tm * (sf.log1p_safe((spp_s - 1.0) ** 2 / gr2)
+                     - sf.log1p_safe((2.0 + tm) ** 2 / gr2)
                      - 2.0 * (_ln(spp_s) - labs_tm))
-        - l_sm_tp * (jnp.log1p((smp_s - 1.0) ** 2 / gr2)
-                     - jnp.log1p((2.0 + tp) ** 2 / gr2)
+        - l_sm_tp * (sf.log1p_safe((smp_s - 1.0) ** 2 / gr2)
+                     - sf.log1p_safe((2.0 + tp) ** 2 / gr2)
                      - 2.0 * (_ln(smp_s) - labs_tp))
-        + l_sp_tp * (jnp.log1p((spp_s - 1.0) ** 2 / gr2)
-                     - jnp.log1p((2.0 + tp) ** 2 / gr2)
+        + l_sp_tp * (sf.log1p_safe((spp_s - 1.0) ** 2 / gr2)
+                     - sf.log1p_safe((2.0 + tp) ** 2 / gr2)
                      - 2.0 * (_ln(spp_s) - labs_tp))
     )
 

@@ -102,6 +102,26 @@ LI3_LOG_C = (
 )
 
 
+def log1p_safe(x):
+    """log(1+x) robust to huge ``x``.
+
+    XLA's log1p lowering returns NaN for arguments above ~1e38 in
+    float64 (observed on both CPU and the TPU's emulated f64; plain
+    ``jnp.log`` is fine at the same values). Kernel expressions like
+    ``log1p(4/gr^2)`` reach 1e50+ at weak coupling (gr ~ g^2, e.g. the
+    free-streaming mock of examples/run_exclusion.py at g=1e-12), which
+    silently NaN-poisoned whole Gamma/alphaTilde tables. Above 1e15,
+    log(x) equals log1p(x) to <1e-15 relative, so switch over there;
+    below, the argument is clamped into the reliable window so the
+    discarded branch stays finite (the where keeps forward and reverse
+    mode clean).
+    """
+    big = x > 1e15
+    return jnp.where(big,
+                     jnp.log(jnp.maximum(x, 1.0)),
+                     jnp.log1p(jnp.minimum(x, 1e15)))
+
+
 def _li2_series(z):
     """Bernoulli series for Li2, valid for z in [-1, 0.5] (real)."""
     w = -jnp.log1p(-z)
