@@ -25,19 +25,42 @@ against GSL, absent here, and publishes no numbers) — see
 BASELINE_MEASURED.json, which carries separate s-channel and
 non-resonant denominators. Until that file exists, vs_baseline is 0.0.
 
+Robustness contract (round-3 post-mortem: BENCH_r03.json was rc=124
+with NOTHING printed because the secondary pp regime hit a cold
+compile after a kernel-touching commit):
+  * the HEADLINE record is printed (and flushed) the moment the
+    headline regime finishes — a later kill can no longer erase it;
+  * every secondary regime runs under a wall budget (deadline checks +
+    SIGALRM); on overrun it reports {"error": "budget ..."} instead of
+    blocking the output;
+  * the phi-phi regime pins NUSIPROP_PP_TABLES to the shipped medium
+    preset (the shapes whose programs are warm in .jax_cache) unless
+    BENCH_PP_FULL=1 — load_default()'s "largest file wins" must not
+    silently recompile against a locally generated 800 MB table;
+  * the final line re-prints the full merged record, so the last JSON
+    line of stdout is always the most complete one available.
+
+Each regime also reports modeled roofline fields (mfu / hbm_frac
+against TPU v5e peaks — nusiprop_tpu/utils/costmodel.py).
+
 Env knobs: BENCH_NON_RESONANT=1 makes the NR regime the headline;
 BENCH_F32=0 forces the emulated-f64 march as headline;
 BENCH_SECONDARY=0 skips the secondary regimes; BENCH_PHIPHI=0 skips the
-phi-phi regime; BENCH_BATCH/BENCH_REPS/BENCH_NR_BATCH/BENCH_PP_BATCH/
-BENCH_UNROLL/BENCH_PALLAS as named.
+phi-phi regime; BENCH_PP_FULL=1 un-pins the phi-phi tables;
+BENCH_DEADLINE_SEC (default 1500) caps total wall, BENCH_REGIME_BUDGET
+(default 600) caps each secondary regime; BENCH_BATCH/BENCH_REPS/
+BENCH_NR_BATCH/BENCH_PP_BATCH/BENCH_UNROLL/BENCH_PALLAS as named.
 """
 
 import json
 import os
 import pathlib
+import signal
 import time
 
 import numpy as np
+
+_T_START = time.time()
 
 MNTOT = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
 
@@ -149,6 +172,44 @@ def _provision_backend():
               env)
 
 
+def _emit(record):
+    """Print one JSON line and flush — a later kill cannot erase it."""
+    print(json.dumps(record), flush=True)
+
+
+class _RegimeTimeout(Exception):
+    pass
+
+
+def _alarm_handler(signum, frame):
+    raise _RegimeTimeout("regime wall budget exhausted")
+
+
+def _deadline():
+    return _T_START + float(os.environ.get("BENCH_DEADLINE_SEC", "1500"))
+
+
+def _run_budgeted(fn):
+    """Run fn() under the per-regime SIGALRM budget, bounded by the
+    global deadline. Returns (result, None) or (None, error_str)."""
+    remaining = _deadline() - time.time()
+    if remaining < 60:
+        return None, "budget: global deadline reached before start"
+    budget = int(min(remaining,
+                     float(os.environ.get("BENCH_REGIME_BUDGET", "600"))))
+    old = signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.alarm(budget)
+    try:
+        return fn(), None
+    except _RegimeTimeout:
+        return None, f"budget: exceeded {budget}s regime wall budget"
+    except (Exception, SystemExit) as exc:  # noqa: BLE001 — report, don't die
+        return None, str(exc)[:200]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     import jax
 
@@ -157,6 +218,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(pathlib.Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Pin the phi-phi tables to the shipped medium preset: its programs
+    # are the warm ones, and the pp denominator in BASELINE_MEASURED was
+    # measured against the same tables. (load_default() would pick the
+    # largest file in data/, silently changing compiled shapes whenever
+    # a full-resolution table was regenerated locally — the round-3
+    # bench died in exactly that cold recompile.)
+    if not int(os.environ.get("BENCH_PP_FULL", "0")):
+        medium = pathlib.Path(__file__).parent / "data" / "pp_tables_medium.npz"
+        if medium.exists():
+            os.environ.setdefault("NUSIPROP_PP_TABLES", str(medium))
     _provision_backend()
 
     from nusiprop_tpu.models.transport import _resolve_march
@@ -195,7 +267,8 @@ def main():
 
         run = lambda p: evolve_pallas(p, cfg)
 
-    zsps, wall = _time_regime(cfg, batch, g0, reps, run=run)
+    from nusiprop_tpu.models import grids as _grids
+    from nusiprop_tpu.utils import costmodel
 
     base = {}
     baseline_file = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
@@ -209,6 +282,43 @@ def main():
     KEY_S = "serial_cpp_zsteps_per_sec_500bins"
     KEY_NR = "serial_cpp_zsteps_per_sec_500bins_nonresonant"
     KEY_PP = "serial_cpp_zsteps_per_sec_500bins_phiphi"
+
+    def _roofline(name, rcfg, rbatch, rwall):
+        try:
+            return costmodel.roofline_fields(
+                name, rbatch, rcfg.N_bins_E, _grids.n_steps_z(rcfg), rwall)
+        except Exception:  # noqa: BLE001 — reporting only
+            return {}
+
+    # ---- headline (budgeted too: a cold compile must not eat the
+    # whole driver timeout — on overrun, fall through with an error
+    # record so the secondaries still report) ----
+    def _headline():
+        return _time_regime(cfg, batch, g0, reps, run=run)
+
+    got, err = _run_budgeted(_headline)
+    if err is None:
+        zsps, wall = got
+    else:
+        zsps, wall = 0.0, 0.0
+
+    record = {
+        "metric": "redshift-steps/sec at 500 energy bins",
+        "value": round(zsps, 3),
+        "unit": "z-steps/sec",
+        "vs_baseline": vs(zsps, KEY_NR if nr_headline else KEY_S),
+        "batch": batch,
+        "wall_sec_per_batch": round(wall, 4),
+        "device": str(jax.devices()[0]),
+        "march": ("pallas-ds" if use_pallas else _resolve_march(cfg)),
+        "non_resonant": nr_headline,
+        "secondary": {},
+    }
+    if err is not None:
+        record["error"] = err
+    record.update(_roofline("non_resonant" if nr_headline else "s_channel",
+                            cfg, batch, wall))
+    _emit(record)  # headline out NOW; the merged record re-prints last
 
     secondary = {}
     if bool(int(os.environ.get("BENCH_SECONDARY", "1"))):
@@ -239,35 +349,25 @@ def main():
         regimes.append(("s_channel_f64", _cfg(False, "rank1"), 256, 1e-2,
                         KEY_S, None))
         for name, rcfg, rbatch, rg, rkey, rrun in regimes:
-            try:
-                rz, rwall = _time_regime(rcfg, rbatch, rg, max(1, reps - 1),
-                                         run=rrun(rcfg) if rrun else None)
+            def _regime(rcfg=rcfg, rbatch=rbatch, rg=rg, rrun=rrun):
+                return _time_regime(rcfg, rbatch, rg, max(1, reps - 1),
+                                    run=rrun(rcfg) if rrun else None)
+
+            got, err = _run_budgeted(_regime)
+            if err is not None:
+                secondary[name] = {"error": err}
+            else:
+                rz, rwall = got
                 secondary[name] = {
                     "zsteps_per_sec": round(rz, 3),
                     "vs_baseline": vs(rz, rkey),
                     "batch": rbatch,
                     "march": _resolve_march(rcfg),
                 }
-            except Exception as exc:  # noqa: BLE001 — report, don't die
-                secondary[name] = {"error": str(exc)[:200]}
+                secondary[name].update(_roofline(name, rcfg, rbatch, rwall))
 
-    print(
-        json.dumps(
-            {
-                "metric": "redshift-steps/sec at 500 energy bins",
-                "value": round(zsps, 3),
-                "unit": "z-steps/sec",
-                "vs_baseline": vs(zsps, KEY_NR if nr_headline else KEY_S),
-                "batch": batch,
-                "wall_sec_per_batch": round(wall, 4),
-                "device": str(jax.devices()[0]),
-                "march": ("pallas-ds" if use_pallas
-                          else _resolve_march(cfg)),
-                "non_resonant": nr_headline,
-                "secondary": secondary,
-            }
-        )
-    )
+    record["secondary"] = secondary
+    _emit(record)
 
 
 if __name__ == "__main__":
