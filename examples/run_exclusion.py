@@ -108,8 +108,15 @@ if args.production:
 else:
     fs_fla = np.asarray(
         nu.evolve(mock_p, cfg, pp_tables=tables).flux_fla)
+if not np.isfinite(fs_fla).all():
+    # g = 1e-12 exercises the weak-coupling guards (specfun.log1p_sq_ratio);
+    # a NaN here would silently gate ZERO bins and produce an empty contour
+    raise SystemExit("mock observation contains non-finite flux — "
+                     "weak-coupling kernel guard regression")
 obs = fs_fla.sum(axis=0)                         # observed nu+x flux
 gate = obs > obs.max() * 10.0 ** (-GATE_DECADES)
+if int(gate.sum()) == 0:
+    raise SystemExit("mock observation gated zero bins — degenerate scan")
 log_obs = np.log10(np.where(gate, obs, 1.0))
 print(f"# mock observation: standard DSNB, {int(gate.sum())} gated bins,"
       f" sigma = {SIGMA_DEX} dex")
@@ -154,6 +161,13 @@ else:
 wall = time.perf_counter() - t0
 print(f"# grid evolve: {wall:.2f} s ({wall / n * 1e3:.1f} ms/point, "
       f"compile included)")
+
+n_bad = int((~np.isfinite(flx)).sum(axis=None))
+if n_bad:
+    # NaN scan points would read as "not excluded" through the argmax
+    # below — make the degradation loud instead of silent
+    print(f"# WARNING: {n_bad} non-finite scan fluxes; affected points "
+          "are treated as unconstrained", flush=True)
 
 # per-point Delta-chi^2 vs the (chi^2 = 0) free-streaming observation
 log_f = np.log10(np.maximum(flx, 1e-300))

@@ -369,15 +369,23 @@ def alpha_pp_grid(Em, Ep, mn, mphi, *, majorana, pp_tables):
     else:
         interp_rc, col_spline = _pp_spline_grid(spl, Em, Ep, smp_s, N, dt)
 
-    # ---- analytic tails (elementwise f64, dense) ----
-    tm_f = _floor_t(tm)[:, :, None]                    # target rows
-    tp_f = _floor_t(tp)[:, :, None]
+    # ---- analytic tails: rank-5 bilinear MXU contraction ----
+    # The round-3 build broadcast the elementwise-f64 closed forms over
+    # dense (3, N, N) — whose emulated-f64 pair intermediates (~0.5 GB
+    # per buffer at batch 64) were the pp batch-64 HBM wall. The tails
+    # factor exactly as row x col bilinear forms; the bases carry every
+    # cancellation in f64 and the (3, N, 5) x (3, 5, N) contraction
+    # runs in the table dtype (kernels_nr.alpha_pp_tail_bases;
+    # f32-vs-elementwise-f64 pinned at round-off by tests/test_pp_grid).
+    tm_f = _floor_t(tm)                                # (3, N) target rows
+    tp_f = _floor_t(tp)
     spp_s = jnp.maximum(_floor_s(spp), smp_s * (1.0 + 1e-12))
-    tail = kernels_nr.alpha_pp_tail(tm_f, tp_f,
-                                    smp_s[:, None, :], spp_s[:, None, :])
+    F_t, H_t = kernels_nr.alpha_pp_tail_bases(tm_f, tp_f, smp_s, spp_s)
+    tail = jnp.einsum("srk,skc->src", F_t.astype(dt), H_t.astype(dt),
+                      precision=lax.Precision.HIGHEST)
 
-    val = (tail.astype(dt) if interp_rc is None
-           else jnp.where(col_spline, interp_rc, tail.astype(dt)))
+    val = tail if interp_rc is None else jnp.where(col_spline, interp_rc,
+                                                   tail)
     ok = ((-tp >= _COORD_FLOOR)[:, :, None]
           & (spp >= _COORD_FLOOR)[:, None, :]
           & (smp > 4.0)[:, None, :]

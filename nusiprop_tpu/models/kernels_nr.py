@@ -155,17 +155,21 @@ def gamma_st(sm, sp, g, gr):
     l1psp = sf.log1p_safe(jnp.maximum(sp, 0.0))
     l1psm = sf.log1p_safe(jnp.maximum(sm, 0.0))
     pref = -(g * g) / (32.0 * PI * (1.0 + gr2)) * (g * g)
+    # log(1 + v^2/gr^2) in log space: at weak coupling gr^2 underflows
+    # the TPU-emulated-f64 exponent window and v^2/gr^2 becomes
+    # inf -> NaN (specfun.log1p_sq_ratio docstring)
+    l_sp1 = sf.log1p_sq_ratio(sp - 1.0, gr)
+    l_sm1 = sf.log1p_sq_ratio(sm - 1.0, gr)
     # angle(1 - conj(z1)) = -angle(1 - z1) (z1 is never exactly real)
     return pref * (
         2.0 * d1.re
         - 2.0 * gr * d1.im
         - 2.0 * gr * cp.angle(1.0 - z1p) * l1psp
         + 2.0 * gr * cp.angle(1.0 - z1m) * l1psm
-        + sf.log1p_safe(4.0 / gr2) * (l1psm - l1psp)
-        + sf.log1p_safe((sp - 1.0) ** 2 / gr2) * l1psp
-        - sf.log1p_safe((sm - 1.0) ** 2 / gr2) * l1psm
-        + (1.0 + gr2)
-        * (sf.log1p_safe((sm - 1.0) ** 2 / gr2) - sf.log1p_safe((sp - 1.0) ** 2 / gr2))
+        + sf.log1p_sq_ratio(2.0, gr) * (l1psm - l1psp)
+        + l_sp1 * l1psp
+        - l_sm1 * l1psm
+        + (1.0 + gr2) * (l_sm1 - l_sp1)
         + 2.0 * sf.dilogdiff(sp, sm)
     )
 
@@ -490,6 +494,10 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
     arg_rm = cp.angle(cp.Cx(gr_a, 1.0 + tm) / den)
     arg_rp = cp.angle(cp.Cx(gr_a, 1.0 + tp) / den)
 
+    # log(1 + (1+t)^2/gr^2) in log space (weak-coupling underflow of
+    # gr^2 on the emulated-f64 backend; specfun.log1p_sq_ratio)
+    l_tp1 = sf.log1p_sq_ratio(1.0 + tp, gr)
+    l_tm1 = sf.log1p_sq_ratio(1.0 + tm, gr)
     if majorana:
         return pref * (
             2.0 * PI * arg_m
@@ -508,15 +516,10 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
             - 2.0 * gr * PI * (_ln(tp * tp) + l1dt)
             + 2.0 * gr * PI * _ln(tp * tp)
             + 4.0 * tm * _ln(tm / tp)
-            + (-l1mtp + l1mtm - l1dt)
-            * (sf.log1p_safe((1.0 + tp) ** 2 / gr2) + 2.0 * _ln(gr))
+            + (-l1mtp + l1mtm - l1dt) * (l_tp1 + 2.0 * _ln(gr))
             - l1dt * _log1p(tm * tm + 2.0 * tm)
-            + 2.0 * (gr2 + tm)
-            * (sf.log1p_safe((1.0 + tp) ** 2 / gr2)
-               - sf.log1p_safe((1.0 + tm) ** 2 / gr2))
-            + 2.0 * (_ln(-tp) * (l1mtp + l1dt)
-                     + (sf.log1p_safe((1.0 + tp) ** 2 / gr2)
-                        - sf.log1p_safe((1.0 + tm) ** 2 / gr2)))
+            + 2.0 * (gr2 + tm) * (l_tp1 - l_tm1)
+            + 2.0 * (_ln(-tp) * (l1mtp + l1dt) + (l_tp1 - l_tm1))
         )
     return pref * (
         gr * d_z5z1.im
@@ -528,10 +531,8 @@ def alphatilde_st(tm, tp, g, gr, *, majorana: bool):
         - 2.0 * l1mtm * _ln(-tp)
         + 2.0 * tm * _ln(tm / tp)
         + 2.0 * l1mtp * _ln(-tp)
-        + (l1mtp - l1mtm) * (_ln(4.0 + gr2) - 2.0 * _ln(gr)
-                             - sf.log1p_safe((1.0 + tp) ** 2 / gr2))
-        + (1.0 + tm + gr2) * (sf.log1p_safe((1.0 + tp) ** 2 / gr2)
-                              - sf.log1p_safe((1.0 + tm) ** 2 / gr2))
+        + (l1mtp - l1mtm) * (_ln(4.0 + gr2) - 2.0 * _ln(gr) - l_tp1)
+        + (1.0 + tm + gr2) * (l_tp1 - l_tm1)
     )
 
 
@@ -767,13 +768,14 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
     pref = (g * g) / (32.0 * PI * (1.0 + gr2)) * (g * g)
 
     if not majorana:
-        # (:1459-1463)
+        # (:1459-1463); log(1 + v^2/gr^2) in log space (weak-coupling
+        # gr^2 underflow on the emulated-f64 backend, log1p_sq_ratio)
         return pref * (
             2.0 * gr * jnp.arctan2(gr, smp_s - 1.0)
             - 2.0 * gr * jnp.arctan2(gr, spp_s - 1.0)
             + 2.0 * _ln(smp_s) - 2.0 * _ln(spp_s)
-            + sf.log1p_safe((spp_s - 1.0) ** 2 / gr2)
-            - sf.log1p_safe((smp_s - 1.0) ** 2 / gr2)
+            + sf.log1p_sq_ratio(spp_s - 1.0, gr)
+            - sf.log1p_sq_ratio(smp_s - 1.0, gr)
         ) * (tm - tp + sf.log1p_safe(-tm) - sf.log1p_safe(-tp))
 
     # Complex pieces on (re, im) pairs — no complex dtypes (TPU).
@@ -820,6 +822,12 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
     labs_tm = _lnabs(1.0 + tm)
     labs_tp = _lnabs(1.0 + tp)
 
+    # log(1 + v^2/gr^2) in log space (weak-coupling gr^2 underflow on
+    # the emulated-f64 backend, specfun.log1p_sq_ratio)
+    l_sm1 = sf.log1p_sq_ratio(smp_s - 1.0, gr)
+    l_sp1 = sf.log1p_sq_ratio(spp_s - 1.0, gr)
+    l_2tm = sf.log1p_sq_ratio(2.0 + tm, gr)
+    l_2tp = sf.log1p_sq_ratio(2.0 + tp, gr)
     return pref * (
         2.0 * gr * im_combo
         - 2.0 * re_combo
@@ -828,22 +836,13 @@ def alpha_st(tm, tp, smp, spp, g, gr, *, majorana: bool):
         + 2.0 * gr * (arg_inv_tp - arg_sp_tp) * l_sp_tp
         - 2.0 * gr * (arg_inv_tp - arg_sm_tp) * l_sm_tp
         + 2.0 * (gr * arg_sm - gr * arg_sp
-                 + sf.log1p_safe((spp_s - 1.0) ** 2 / gr2) / 2.0
-                 - sf.log1p_safe((smp_s - 1.0) ** 2 / gr2) / 2.0
+                 + l_sp1 / 2.0 - l_sm1 / 2.0
                  + _ln(smp_s) - _ln(spp_s))
         * (2.0 * (tm - tp) + (sf.log1p_safe(-tm) - sf.log1p_safe(-tp)))
-        + l_sm_tm * (sf.log1p_safe((smp_s - 1.0) ** 2 / gr2)
-                     - sf.log1p_safe((2.0 + tm) ** 2 / gr2)
-                     - 2.0 * (_ln(smp_s) - labs_tm))
-        - l_sp_tm * (sf.log1p_safe((spp_s - 1.0) ** 2 / gr2)
-                     - sf.log1p_safe((2.0 + tm) ** 2 / gr2)
-                     - 2.0 * (_ln(spp_s) - labs_tm))
-        - l_sm_tp * (sf.log1p_safe((smp_s - 1.0) ** 2 / gr2)
-                     - sf.log1p_safe((2.0 + tp) ** 2 / gr2)
-                     - 2.0 * (_ln(smp_s) - labs_tp))
-        + l_sp_tp * (sf.log1p_safe((spp_s - 1.0) ** 2 / gr2)
-                     - sf.log1p_safe((2.0 + tp) ** 2 / gr2)
-                     - 2.0 * (_ln(spp_s) - labs_tp))
+        + l_sm_tm * (l_sm1 - l_2tm - 2.0 * (_ln(smp_s) - labs_tm))
+        - l_sp_tm * (l_sp1 - l_2tm - 2.0 * (_ln(spp_s) - labs_tm))
+        - l_sm_tp * (l_sm1 - l_2tp - 2.0 * (_ln(smp_s) - labs_tp))
+        + l_sp_tp * (l_sp1 - l_2tp - 2.0 * (_ln(spp_s) - labs_tp))
     )
 
 
@@ -918,6 +917,87 @@ def alpha_pp_tail(tm, tp, smp_s, spp_s):
     )
 
     return jnp.where(tm < -1.0, tail1, jnp.where(tp < -1.0, tail2, tail3))
+
+
+def alpha_pp_tail_bases(tm, tp, smp_s, spp_s):
+    """Rank-5 bilinear factorization of ``alpha_pp_tail`` for the dense
+    grid build: tail[s, r, c] = sum_k F[s, r, k] * H[s, k, c].
+
+    The three tail regimes (nuSIprop.hpp:1487-1492) are bilinear in
+    (target-row, source-col) functions: expanding each closed form and
+    grouping by its five independent column factors
+        h0 = lsp(3+2y)/(128 pi y^2) - lsm(3+2x)/(128 pi x^2)
+        h1 = (lsm - lsp)/(64 pi)
+        h2 = base3/(128 pi x y)
+        h3 = (y-x)(x+y)/(256 pi x^2 y^2)
+        h4 = (y-x)/(256 pi x y)
+    (x = sminus', y = splus') leaves per-row coefficient vectors that
+    are selected by the row's regime. Every cancellation-prone
+    combination — C(t) = (1+t) ln(-1-t) - t ln(-t) (two ~|t| ln|t| terms
+    collapsing to ~ln|t|), the h0/h1 column differences, base3 — is
+    evaluated on ONE side in float64 before the cast, so the (3, N, 5)
+    x (3, 5, N) contraction can run on the MXU in the table dtype: at
+    batch 64 the dense elementwise-f64 tails materialized ~0.5 GB
+    emulated-f64 broadcast intermediates per buffer (the round-3 pp
+    batch-64 HBM wall); the factorized build materializes only the
+    (3, N, N) output. Cross-term f32 cancellation is bounded: each
+    product is O(the regime's result scale) (pinned against the
+    elementwise oracle by tests/test_pp_grid.py).
+
+    tm/tp: (3, N) target-bin limits (floored, negative); smp_s/spp_s:
+    (3, N) source-bin limits (floored, >= 4). Returns (F, H) float64.
+    """
+    a, b = tm, tp
+    x, y = smp_s, spp_s
+    lsm, lsp = _ln(x), _ln(y)
+    ltm = _ln(jnp.maximum(-a, _TINY))
+    ltp = _ln(jnp.maximum(-b, _TINY))
+    lm1tm = _ln(jnp.maximum(-1.0 - a, _TINY))
+    lm1tp = _ln(jnp.maximum(-1.0 - b, _TINY))
+
+    # row-side combinations (f64; each pre-cancelled)
+    r1 = a - b
+    r2 = (a - b) * (a + b)
+    C_m = (1.0 + a) * lm1tm - a * ltm
+    C_p = (1.0 + b) * lm1tp - b * ltp
+    D = C_m - C_p
+    E = a * ltm - b * ltp
+    RA1 = r2 - 2.0 * r1 - 4.0 * D + 2.0 * E
+    RA2 = -24.0 * r1 + 4.0 * D + 12.0 * E + 4.0 * (lm1tm - lm1tp)
+    q2 = (1.0 + b) * (b - 3.0) - 4.0 * (1.0 + b) * lm1tp + 6.0 * b * ltp
+    q3 = -24.0 * (1.0 + b) + 4.0 * (2.0 + b) * lm1tp + 8.0 * b * ltp
+
+    reg1 = a < -1.0                     # both limits below -1
+    reg2 = (~reg1) & (b < -1.0)         # straddling
+    # regime 3 (both above -1) is the fall-through
+    zero = jnp.zeros_like(a)
+    f0 = jnp.where(reg1, r1, jnp.where(reg2, -(1.0 + b), zero))
+    f1 = jnp.where(reg1, D, jnp.where(reg2, -C_p, zero))
+    f2 = jnp.where(reg1, zero, jnp.where(reg2, -1.0 - a, b - a))
+    f3 = jnp.where(reg1, RA1, jnp.where(reg2, -q2, zero))
+    f4 = jnp.where(reg1, RA2, jnp.where(reg2, -q3, zero))
+    F = jnp.stack([f0, f1, f2, f3, f4], axis=-1)          # (3, N, 5)
+
+    # column-side functions (f64; base3 and the h0/h1 differences carry
+    # the cancellations of the narrow source bin)
+    base3 = (
+        -6.0 * x + 6.0 * y
+        - 2.0 * (x - 2.0) * y * lsm
+        + x * y * lsm * lsm
+        + 2.0 * x * (y - 2.0) * lsp
+        - x * y * lsp * lsp
+    )
+    inv_x2 = 1.0 / (x * x)
+    inv_y2 = 1.0 / (y * y)
+    inv_xy = inv_x2 * (x / y)
+    h0 = (lsp * (3.0 + 2.0 * y) * inv_y2
+          - lsm * (3.0 + 2.0 * x) * inv_x2) / (128.0 * PI)
+    h1 = (lsm - lsp) / (64.0 * PI)
+    h2 = base3 * inv_xy / (128.0 * PI)
+    h3 = (y - x) * (x + y) * (inv_x2 * inv_y2) / (256.0 * PI)
+    h4 = (y - x) * inv_xy / (256.0 * PI)
+    H = jnp.stack([h0, h1, h2, h3, h4], axis=-2)          # (3, 5, N)
+    return F, H
 
 
 def alpha_pp_val(tm, tp, smp, spp, *, pp_tables):

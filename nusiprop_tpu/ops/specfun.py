@@ -105,21 +105,64 @@ LI3_LOG_C = (
 def log1p_safe(x):
     """log(1+x) robust to huge ``x``.
 
-    XLA's log1p lowering returns NaN for arguments above ~1e38 in
-    float64 (observed on both CPU and the TPU's emulated f64; plain
-    ``jnp.log`` is fine at the same values). Kernel expressions like
-    ``log1p(4/gr^2)`` reach 1e50+ at weak coupling (gr ~ g^2, e.g. the
-    free-streaming mock of examples/run_exclusion.py at g=1e-12), which
-    silently NaN-poisoned whole Gamma/alphaTilde tables. Above 1e15,
-    log(x) equals log1p(x) to <1e-15 relative, so switch over there;
-    below, the argument is clamped into the reliable window so the
-    discarded branch stays finite (the where keeps forward and reverse
-    mode clean).
+    On the TPU's f64 emulation (float32-pair arithmetic with float32's
+    exponent range) any argument above ~3.4e38 IS inf, and both
+    ``jnp.log1p`` and ``jnp.log`` return NaN at inf there (on true-f64
+    CPU both are finite and correct up to ~1.8e308 — the original
+    version of this docstring mis-attributed the failure to XLA's
+    log1p lowering; tests/test_specfun.py::test_log1p_safe pins the
+    actual contract). Above 1e15, log(x) equals log1p(x) to <1e-15
+    relative, so switch over there; below, the argument is clamped into
+    the reliable window so the discarded branch stays finite (the where
+    keeps forward and reverse mode clean). An inf argument returns inf,
+    never NaN — but note inf is already a range-safety failure upstream:
+    expressions that can overflow the f32 exponent window must use
+    ``log1p_sq_ratio`` (log-space) instead of forming the ratio.
     """
     big = x > 1e15
-    return jnp.where(big,
-                     jnp.log(jnp.maximum(x, 1.0)),
-                     jnp.log1p(jnp.minimum(x, 1e15)))
+    finite_big = jnp.minimum(jnp.maximum(x, 1.0), 1e37)
+    out = jnp.where(big, jnp.log(finite_big),
+                    jnp.log1p(jnp.minimum(x, 1e15)))
+    # restore the exact log for finite x > 1e37 on true-f64 backends
+    # (on the emulated backend x > ~3.4e38 never reaches here finite)
+    out = jnp.where(jnp.isfinite(x) & (x > 1e37),
+                    jnp.log(jnp.where(jnp.isfinite(x) & (x > 1e37), x, 1.0)),
+                    out)
+    return jnp.where(jnp.isinf(x) & (x > 0), jnp.inf, out)
+
+
+# |g|-floor of log1p_sq_ratio: representable (normal) on BOTH backends
+# (f32 min normal 1.18e-38). Only reached when gr itself underflowed —
+# physically the free-streaming regime, where the g^4 channel prefactor
+# has underflowed the flux contribution anyway.
+_RATIO_G_FLOOR = 1e-37
+
+
+def log1p_sq_ratio(x, g):
+    """log1p((x/g)^2) without forming x^2, g^2, or the ratio.
+
+    The s-t/s-u interference channels (nuSIprop.hpp:842-872, 1134-1186,
+    1427-1467) evaluate log(1 + v^2/gr^2) with gr = Gamma/mphi ~
+    g^2/(16 pi). At weak coupling (g = 1e-12: gr ~ 2e-26) gr^2
+    underflows the f32 exponent window that TPU f64 emulation carries,
+    the ratio becomes inf, and log(inf) is NaN on that backend — this
+    NaN-poisoned whole Gamma/alphaTilde tables and silently zeroed the
+    run_exclusion free-streaming mock. Decompose instead as
+
+        log1p((x/g)^2) = 2*(log M - log|g|) + log1p((m/M)^2),
+        M = max(|x|, |g|), m = min(|x|, |g|),
+
+    where every factor is representable whenever x and g themselves
+    are: for |x| <= |g| this reduces EXACTLY to the direct form (the
+    log difference is identically zero), otherwise it differs only by
+    rounding (~1 ulp). |g| is floored at 1e-37 so a fully underflowed
+    g yields a large finite value rather than inf.
+    """
+    a = jnp.abs(x)
+    b = jnp.maximum(jnp.abs(g), _RATIO_G_FLOOR)
+    M = jnp.maximum(a, b)
+    r = jnp.minimum(a, b) / M
+    return 2.0 * (jnp.log(M) - jnp.log(b)) + jnp.log1p(r * r)
 
 
 def _li2_series(z):

@@ -87,3 +87,14 @@ def test_run_exclusion_production_mode(tmp_path):
     assert "non_resonant+phiphi (reference default)" in out.stdout
     assert "scanning 12 (mphi, g) points" in out.stdout
     assert "grid evolve" in out.stdout
+    # The g=1e-12 free-streaming mock exercises the weak-coupling kernel
+    # guards (specfun.log1p_sq_ratio): a NaN-poisoned mock would gate 0
+    # bins and silently produce an empty/garbage contour (the example
+    # itself aborts on non-finite flux since the guard landed).
+    gated = [l for l in out.stdout.splitlines() if "gated bins" in l]
+    assert gated, out.stdout
+    n_gated = int(gated[0].split("DSNB,")[1].split("gated")[0])
+    assert n_gated > 0, out.stdout
+    assert "WARNING" not in out.stdout, out.stdout
+    contour = np.loadtxt(tmp_path / "contour.txt")
+    assert contour.size and np.isfinite(contour).all()

@@ -396,3 +396,81 @@ class TestPositivity:
                                              majorana=maj)
             tot = np.asarray(at_s + at_t + at_st)
             assert (tot > -1e-10 * G**4).all(), (maj, tot.min())
+
+
+class TestWeakCouplingWindow:
+    """The s-t/s-u channels must survive the float32 exponent window
+    that TPU f64 emulation carries, down to the run_exclusion
+    free-streaming coupling g = 1e-12 (gr^2 ~ 4e-52 underflows; the
+    pre-guard closed forms NaN/inf-poisoned whole tables there —
+    ADVICE r3, fixed via specfun.log1p_sq_ratio).
+
+    Pure-f32 evaluation on PHYSICAL strict-upper-pair coordinates is
+    the hardware-free emulation of that window (stricter in mantissa,
+    identical in exponent range). Red if the log-space guards revert.
+    """
+
+    def _grid_coords(self, mphi):
+        from nusiprop_tpu.config import Config
+        from nusiprop_tpu.models import grids, masses
+
+        cfg = Config(N_bins_E=120, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                     non_resonant=True)
+        gr_ = grids.build(cfg)
+        mn = np.asarray(masses.mass_spectrum(0.0587, True))[:, None]
+        Em, Ep = np.asarray(gr_.Emin_ext), np.asarray(gr_.Emax_ext)
+        N = Em.shape[0]
+        rows, cols = np.triu_indices(N, k=1)
+        tp = kernels._shift_near_minus1(
+            arr(-2.0 * mn * Ep[rows][None, :] / mphi**2))
+        tm = kernels._shift_near_minus1(
+            arr(-2.0 * mn * Em[rows][None, :] / mphi**2))
+        smp = arr(2.0 * mn * Em[cols][None, :] / mphi**2)
+        spp = arr(2.0 * mn * Ep[cols][None, :] / mphi**2)
+        sm_g = arr(2.0 * mn * Em[None, :] / mphi**2)
+        sp_g = arr(2.0 * mn * Ep[None, :] / mphi**2)
+        return (kernels_nr._floor_t(tm), kernels_nr._floor_t(tp),
+                kernels_nr._floor_s(smp), kernels_nr._floor_s(spp),
+                kernels_nr._floor_s(sm_g), kernels_nr._floor_s(sp_g))
+
+    @pytest.mark.parametrize("g", [1e-12, 1e-9, 1e-6])
+    @pytest.mark.parametrize("mphi", [1e5, 5e7])
+    def test_st_channels_finite_in_f32_window(self, g, mphi):
+        f32 = jnp.float32
+        tm, tp, smp, spp, sm_g, sp_g = self._grid_coords(mphi)
+        ga = kernels.scalar_width(g, mphi, True)
+        grat = f32(ga / mphi)
+        gam = kernels_nr.gamma_st(sm_g.astype(f32), sp_g.astype(f32),
+                                  f32(g), grat)
+        assert bool(jnp.isfinite(gam).all())
+        for maj in (True, False):
+            at = kernels_nr.alphatilde_st(
+                tm[:, :120].astype(f32), tp[:, :120].astype(f32),
+                f32(g), grat, majorana=maj)
+            assert bool(jnp.isfinite(at).all()), ("alphatilde_st", maj)
+            al = kernels_nr.alpha_st(tm.astype(f32), tp.astype(f32),
+                                     smp.astype(f32), spp.astype(f32),
+                                     f32(g), grat, majorana=maj)
+            assert bool(jnp.isfinite(al).all()), ("alpha_st", maj)
+
+    def test_weak_coupling_tables_finite_f64(self):
+        """Full f64 table build at g = 1e-12 (the exclusion mock):
+        every Gamma/alphaTilde/alpha entry finite."""
+        from nusiprop_tpu.config import Config
+        from nusiprop_tpu.models import grids, masses
+
+        cfg = Config(N_bins_E=48, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                     non_resonant=True)
+        gr_ = grids.build(cfg)
+        mn = masses.mass_spectrum(0.0587, True)
+        kw = dict(majorana=True, non_resonant=True, phiphi=False)
+        for mphi in (1e5, 5e6):
+            tblG = kernels.gamma_table(gr_.Emin_ext, gr_.Emax_ext, mn,
+                                       1e-12, mphi, arr([0.3, 0.3, 0.4]), **kw)
+            tblAt = kernels.alphatilde_table(gr_.Emin_ext, gr_.Emax_ext, mn,
+                                             1e-12, mphi, arr([0.3, 0.3, 0.4]),
+                                             **kw)
+            tblA = kernels.alpha_table(gr_.Emin_ext, gr_.Emax_ext, mn,
+                                       1e-12, mphi, arr([0.3, 0.3, 0.4]), **kw)
+            for t in (tblG, tblAt, tblA):
+                assert bool(jnp.isfinite(t).all()), mphi

@@ -156,3 +156,50 @@ def test_flux_end_to_end_grid_vs_pairs(tables):
     rel = np.abs(f_grid - f_pairs) / (np.abs(f_pairs) + 1e-300)
     gate = np.abs(f_pairs) > 1e-10 * np.abs(f_pairs).max()
     assert rel[gate].max() < 1e-8, rel[gate].max()
+
+
+@pytest.mark.parametrize("lo,hi,mphi", [(4.0, 9.0, 1e2), (12.0, 17.0, 6e5)])
+def test_tail_bases_vs_elementwise(lo, hi, mphi):
+    """The rank-5 bilinear tail factorization (alpha_pp_tail_bases) must
+    reproduce the elementwise closed forms (alpha_pp_tail) to f64
+    round-off in f64 and to f32 round-off when the bases are cast —
+    i.e. no cross-term cancellation survives the factorization."""
+    from nusiprop_tpu.models import kernels_nr as knr
+
+    cfg = Config(N_bins_E=120, lEmin=lo, lEmax=hi, zmax=5.0,
+                 non_resonant=True, phiphi=True)
+    gr_ = grids.build(cfg)
+    mn = np.asarray(masses.mass_spectrum(0.1, True))[:, None]
+    Em, Ep = np.asarray(gr_.Emin_ext), np.asarray(gr_.Emax_ext)
+    N = Em.shape[0]
+    tm_f = knr._floor_t(kernels._shift_near_minus1(
+        jnp.asarray(-2.0 * mn * Em[None, :] / mphi**2)))
+    tp_f = knr._floor_t(kernels._shift_near_minus1(
+        jnp.asarray(-2.0 * mn * Ep[None, :] / mphi**2)))
+    smp_s = jnp.maximum(knr._floor_s(
+        jnp.asarray(2.0 * mn * Em[None, :] / mphi**2)), 4.0 + 1e-12)
+    spp_s = jnp.maximum(knr._floor_s(
+        jnp.asarray(2.0 * mn * Ep[None, :] / mphi**2)),
+        smp_s * (1.0 + 1e-12))
+    ref = np.asarray(knr.alpha_pp_tail(
+        tm_f[:, :, None], tp_f[:, :, None],
+        smp_s[:, None, :], spp_s[:, None, :]))
+    F, H = knr.alpha_pp_tail_bases(tm_f, tp_f, smp_s, spp_s)
+    got64 = np.asarray(jnp.einsum("srk,skc->src", F, H))
+    import jax as _jax
+
+    got32 = np.asarray(jnp.einsum(
+        "srk,skc->src", F.astype(jnp.float32), H.astype(jnp.float32),
+        precision=_jax.lax.Precision.HIGHEST)).astype(np.float64)
+    # gate on the physically used region (tail columns, strict upper)
+    mask = ((np.asarray(smp_s) >= 1e4)[:, None, :]
+            & (np.arange(N)[None, :, None] < np.arange(N)[None, None, :]))
+    assert mask.any() == (mphi in (1e2, 6e5))
+    scale = np.abs(ref[mask]).max() if mask.any() else np.abs(ref).max()
+    floor = scale * 1e-15
+    rel64 = (np.abs(got64 - ref)[mask]
+             / np.maximum(np.abs(ref)[mask], floor)).max() if mask.any() else 0
+    rel32 = (np.abs(got32 - ref)[mask]
+             / np.maximum(np.abs(ref)[mask], floor)).max() if mask.any() else 0
+    assert rel64 < 1e-9, rel64
+    assert rel32 < 2e-6, rel32
