@@ -161,9 +161,38 @@ class Evolver:
             self._result = transport.evolve(self.params, self.config,
                                             pp_tables=self._pp_tables)
         self.evolved = True
+        self._check_health()
         if audit:
             self.audit()
         return self
+
+    # relative negativity the reference tolerates as roundoff before
+    # screaming (its channel checks divide by (g/mphi)^4 and compare to
+    # -1e-11, nuSIprop.hpp:1215-1231)
+    _HEALTH_TOL = -1e-11
+
+    def _check_health(self):
+        """Default-on cheap health check: two scalars computed from the
+        tables the evolve already built (EvolveResult.health), warned
+        here on the host — the always-on analog of the reference's
+        per-kernel-call negative-cross-section stderr dumps
+        (nuSIprop.hpp:909-918, 1215-1231, 1505-1516) without a second
+        table build. The full per-channel report remains
+        ``evolve(audit=True)`` / ``audit()``."""
+        import sys
+
+        h = getattr(self._result, "health", None)
+        if h is None:
+            return
+        worst, nonfinite = (float(x) for x in np.asarray(h))
+        if nonfinite > 0 or worst < self._HEALTH_TOL:
+            sys.stderr.write(
+                "Negative cross section in the kernel tables (worst "
+                f"relative entry {worst:.3e}; {int(nonfinite)} non-finite "
+                "entries).\n"
+                f"Possible roundoff errors for g={self.g}, "
+                f"mphi={self.mphi}, mntot={self.mntot}\n"
+                "Run evolve(audit=True) for the per-channel report.\n")
 
     def audit(self):
         """Build the kernel tables and warn on stderr if unhealthy.
@@ -226,35 +255,44 @@ class Evolver:
         """Flux per mass eigenstate.
 
         ``get_flux()`` returns the full (3, N_bins_E) array;
-        ``get_flux(i, j)`` returns the scalar flux of eigenstate ``i``
-        at energy bin ``j`` with the reference's out-of-range semantics
-        (stderr warning + 0, nuSIprop.hpp:359-381)."""
+        ``get_flux(i)`` the (N_bins_E,) spectrum of eigenstate ``i``;
+        ``get_flux(i, j)`` the scalar flux of eigenstate ``i`` at energy
+        bin ``j`` — per-index access with the reference's out-of-range
+        semantics (stderr warning + 0, nuSIprop.hpp:359-381)."""
+        return self._get_flux_impl(i, j, "flux", "mass eigenstate")
+
+    def _get_flux_impl(self, i, j, field, kind):
         if i is None and j is None:
             if not self._require_evolved():
                 return np.zeros((3, self.config.N_bins_E))
-            return np.asarray(self._result.flux)
-        if not self._check_index(int(i), int(j), "mass eigenstate"):
+            return np.asarray(getattr(self._result, field))
+        if i is not None and j is None:
+            # single-index: whole spectrum of state i (bounds-checked
+            # like the scalar path; bin index 0 stands in as in-range)
+            if not self._check_index(int(i), 0, kind):
+                return np.zeros(self.config.N_bins_E)
+            if not self._require_evolved():
+                return np.zeros(self.config.N_bins_E)
+            return np.asarray(getattr(self._result, field)[int(i)])
+        if i is None:
+            raise TypeError(
+                "pass (i, j) for a scalar, (i) for one state's spectrum, "
+                "or no indices for the full array")
+        if not self._check_index(int(i), int(j), kind):
             return 0.0
         if not self._require_evolved():
             return 0.0
-        return float(self._result.flux[int(i), int(j)])
+        return float(getattr(self._result, field)[int(i), int(j)])
 
     def get_flux_fla(self, i=None, j=None):
         """Flux per flavor {e, mu, tau}.
 
         ``get_flux_fla()`` returns the full (3, N_bins_E) array;
-        ``get_flux_fla(i, j)`` returns the scalar flavor-``i`` flux at
-        bin ``j`` with the reference's out-of-range semantics
+        ``get_flux_fla(i)`` the (N_bins_E,) spectrum of flavor ``i``;
+        ``get_flux_fla(i, j)`` the scalar flavor-``i`` flux at bin ``j``
+        with the reference's out-of-range semantics
         (nuSIprop.hpp:383-405)."""
-        if i is None and j is None:
-            if not self._require_evolved():
-                return np.zeros((3, self.config.N_bins_E))
-            return np.asarray(self._result.flux_fla)
-        if not self._check_index(int(i), int(j), "flavor eigenstate"):
-            return 0.0
-        if not self._require_evolved():
-            return 0.0
-        return float(self._result.flux_fla[int(i), int(j)])
+        return self._get_flux_impl(i, j, "flux_fla", "flavor eigenstate")
 
     def get_energies(self):
         """Energy bin centers [eV], shape (N_bins_E,)."""

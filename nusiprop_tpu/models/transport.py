@@ -59,6 +59,37 @@ class EvolveResult(NamedTuple):
     Emax: jnp.ndarray      # (NE,)
     z: jnp.ndarray         # (Nz,)
     mn: jnp.ndarray        # (3,) mass eigenvalues [eV]
+    # (worst_rel_neg, nonfinite_count): default-on cheap health signal
+    # from the already-built kernel tables (_table_health) — the
+    # always-on spirit of the reference's negative-cross-section
+    # screams (nuSIprop.hpp:909-918, 1215-1231, 1505-1516) without a
+    # second table build. Consumed by api.Evolver.evolve.
+    health: jnp.ndarray = None
+
+
+def _table_health(tables):
+    """(worst_rel_neg, nonfinite_count) over the final kernel tables.
+
+    worst_rel_neg = min over tables of (table min / table absmax) — a
+    dimensionless negativity measure comparable across the normalized
+    f32 and prefactored f64 table conventions. The reference tolerates
+    per-channel negativity down to -1e-11 * (g/mphi)^4 (its channel
+    scale; nuSIprop.hpp:1215-1231 comment) — api.Evolver applies the
+    same -1e-11 relative threshold. nonfinite_count counts inf/NaN
+    entries, which the reference's screams would also surface.
+    """
+    worst = jnp.asarray(0.0, jnp.float64)
+    bad = jnp.asarray(0.0, jnp.float64)
+    for t in tables:
+        if t is None:
+            continue
+        t64 = t.astype(jnp.float64)
+        finite = jnp.isfinite(t64)
+        bad = bad + jnp.sum(~finite).astype(jnp.float64)
+        t_ok = jnp.where(finite, t64, 0.0)
+        scale = jnp.maximum(jnp.max(jnp.abs(t_ok)), 1e-300)
+        worst = jnp.minimum(worst, jnp.min(t_ok) / scale)
+    return jnp.stack([worst, bad])
 
 
 def _inv3(M):
@@ -380,11 +411,17 @@ def _nilpotent_solve(N, q):
     march matrix is I minus a NILPOTENT non-negative N, so the inverse
     is the terminating Neumann product (I-N)^{-1} = prod_j (I+N^(2^j))
     — log-depth MXU matmuls instead of a length-NE substitution chain.
-    Blocked back-substitution over _SOLVE_BS diagonal blocks keeps the
-    squaring cost at O(NB*BS^3): measured 0.61 ms/step, 5x faster than
-    solve_triangular AND closer to the f64 truth (2.0e-7 vs 3.8e-7 max
-    rel on bench-shaped random systems — every entry of N is
-    non-negative, so all sums are cancellation-free). Matmuls force
+
+    Structure (round 4; the round-2 version interleaved per-block
+    squarings and matvecs as ~54 small sequential ops per solve, which
+    made it launch-latency bound at ~0.61 ms/step): the diagonal
+    _SOLVE_BS blocks are EXPLICITLY inverted all at once — one stacked
+    (NB, BS, BS) product-doubling chain, 2 batched matmuls per level —
+    and the block back-substitution then runs one full-width row-block
+    matvec + one inverse apply per block (~20 ops total per solve,
+    bigger and fewer: the MXU sees (batch*NB, BS, BS) matmuls).
+    Accuracy is unchanged: every entry of N is non-negative, so all
+    Neumann sums are cancellation-free. Matmuls force
     Precision.HIGHEST: the default bf16 passes cost 3e-4 accuracy for
     only 1.4x less wall (see BENCH_NOTES round 2).
     """
@@ -396,29 +433,34 @@ def _nilpotent_solve(N, q):
     if pad:
         N = jnp.pad(N, ((0, pad), (0, pad)))
         q = jnp.pad(q, (0, pad))
+    NP = NB * BS
 
-    def inv_apply(Nbb, v):
-        # (I - Nbb)^{-1} v = prod_j (I + Nbb^(2^j)) v; Nbb^BS = 0, and
-        # the k<BS powers are all covered: after the loop the product
-        # spans sum_{k<2*k_last} Nbb^k with 2*k_last >= BS.
-        P = Nbb
-        x = v + jnp.einsum("ij,j->i", P, v, precision=hi)
-        k = 1
-        while 2 * k < BS:
-            P = jnp.einsum("ij,jk->ik", P, P, precision=hi)
-            x = x + jnp.einsum("ij,j->i", P, x, precision=hi)
-            k *= 2
-        return x
+    # stacked diagonal blocks (NB, BS, BS): one reshape/transpose + a
+    # static diagonal take, not NB dynamic slices
+    blocks = N.reshape(NB, BS, NB, BS).transpose(0, 2, 1, 3)
+    Nd = blocks[jnp.arange(NB), jnp.arange(NB)]
 
-    xs = [None] * NB
+    # (I - Nd)^{-1} explicitly, via product doubling: after each level
+    # B = prod_{j<=J} (I + Nd^(2^j)) with P = Nd^(2^(J+1)); Nd^BS = 0
+    # and 2*k_last >= BS covers every power < BS.
+    B = jnp.eye(BS, dtype=N.dtype)[None] + Nd
+    P = Nd
+    k = 1
+    while 2 * k < BS:
+        P = jnp.einsum("bij,bjk->bik", P, P, precision=hi)
+        B = B + jnp.einsum("bij,bjk->bik", P, B, precision=hi)
+        k *= 2
+
+    # back-substitution, one full-width row-block matvec per block
+    # (columns left of the diagonal block are zero, later blocks of x
+    # are already solved, the block's own columns hit x = 0)
+    x = jnp.zeros(NP, dtype=N.dtype)
     for b in range(NB - 1, -1, -1):
-        r = q[b * BS:(b + 1) * BS]
-        for b2 in range(b + 1, NB):
-            r = r + jnp.einsum(
-                "ij,j->i", N[b * BS:(b + 1) * BS, b2 * BS:(b2 + 1) * BS],
-                xs[b2], precision=hi)
-        xs[b] = inv_apply(N[b * BS:(b + 1) * BS, b * BS:(b + 1) * BS], r)
-    x = jnp.concatenate(xs)
+        lo = b * BS
+        r = q[lo:lo + BS] + jnp.einsum(
+            "ij,j->i", N[lo:lo + BS, :], x, precision=hi)
+        x = x.at[lo:lo + BS].set(
+            jnp.einsum("ij,j->i", B[b], r, precision=hi))
     return x[:NE] if pad else x
 
 
@@ -666,6 +708,7 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
 
     tbl_prefs = None
     A32ext = pref_A = None
+    rho_ext = tblA = None
     if tables is not None:
         if march in ("rank1", "rank1_f32"):
             raise ValueError("precomputed tables require march='trisolve' "
@@ -892,6 +935,7 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         Emax=gr.Emax,
         z=z,
         mn=mn,
+        health=_table_health([tblG, tblAt, A32ext, tblA, rho_ext]),
     )
 
 
@@ -1027,7 +1071,8 @@ def _march_general(params: PhysicsParams, Q, tables, cfg: Config) -> EvolveResul
     flux_fla = Wsq @ flux
 
     return EvolveResult(flux=flux, flux_fla=flux_fla, E_nu=gr.E_nu,
-                        Emin=gr.Emin, Emax=gr.Emax, z=z, mn=mn)
+                        Emin=gr.Emin, Emax=gr.Emax, z=z, mn=mn,
+                        health=_table_health([Geff, Ateff, Aeff]))
 
 
 @lru_cache(maxsize=None)

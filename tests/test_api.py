@@ -194,3 +194,33 @@ def test_per_index_getters_unevolved(capsys):
         assert ev.get_flux(0, 0) == 0.0
     with pytest.warns(UserWarning, match="not evolved"):
         assert ev.get_flux_fla(1, 2) == 0.0
+
+
+def test_single_index_getter_returns_row(capsys):
+    """get_flux(i) / get_flux_fla(i) with one index: the whole spectrum
+    of that state (previously a TypeError — VERDICT r3 item 10); bad
+    index keeps warn-and-zero semantics; j alone is a clean TypeError."""
+    ev = nu.Evolver(**GOLDEN_KW).evolve()
+    np.testing.assert_array_equal(ev.get_flux(1), ev.get_flux()[1])
+    np.testing.assert_array_equal(ev.get_flux_fla(2), ev.get_flux_fla()[2])
+    capsys.readouterr()
+    out = ev.get_flux(5)
+    assert out.shape == (ev.get_N_bins_E(),) and (out == 0.0).all()
+    assert "mass eigenstate 5" in capsys.readouterr().err
+    with pytest.raises(TypeError):
+        ev.get_flux(None, 3)
+
+
+def test_health_signal_default_on(capsys):
+    """EvolveResult.health rides along every evolve; a healthy golden
+    run stays silent, a doctored unhealthy result screams on stderr."""
+    ev = nu.Evolver(**GOLDEN_KW).evolve()
+    h = np.asarray(ev._result.health)
+    assert h.shape == (2,)
+    assert h[1] == 0.0 and h[0] >= nu.Evolver._HEALTH_TOL
+    capsys.readouterr()
+    # doctor the health vector: the host-side check must scream
+    ev._result = ev._result._replace(health=np.array([-1e-3, 0.0]))
+    ev._check_health()
+    err = capsys.readouterr().err
+    assert "Negative cross section" in err and "Possible roundoff" in err

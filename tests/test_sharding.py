@@ -167,3 +167,43 @@ def test_sharded_scan_with_pp_tables():
     # (same bound as test_phiphi_sharded_matches_unsharded)
     np.testing.assert_allclose(np.asarray(res.flux_fla),
                                np.asarray(ref.flux_fla), rtol=1e-10)
+
+
+def test_esharded_march_matches_unsharded():
+    """E'-axis (source-energy) sharded march prototype (SURVEY §5,
+    parallel/eshard.py): the per-z-node alpha solve + psum contraction
+    split over the 8-device mesh must agree with the unsharded
+    march='trisolve' f64 evolve to 1e-12 (sum re-association only)."""
+    from nusiprop_tpu.models import transport
+    from nusiprop_tpu.parallel import eshard
+
+    cfg = Config(N_bins_E=256, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=True, march="trisolve", table_dtype="f64")
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    p = nu.PhysicsParams.create(5e6, 1e-3, mntot, 2.0, 6.0)
+
+    ref = transport.evolve(p, cfg)
+    flux, flux_fla = eshard.evolve_esharded(p, cfg)
+    ref_flux = np.asarray(ref.flux)
+    got = np.asarray(flux)
+    scale = np.abs(ref_flux).max()
+    gate = np.abs(ref_flux) > scale * 1e-12
+    rel = np.abs(got - ref_flux)[gate] / np.abs(ref_flux)[gate]
+    assert rel.max() < 1e-12, rel.max()
+    np.testing.assert_allclose(np.asarray(flux_fla),
+                               np.asarray(ref.flux_fla), rtol=1e-11)
+
+
+def test_esharded_rejects_bad_configs():
+    from nusiprop_tpu.parallel import eshard
+
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    p = nu.PhysicsParams.create(5e6, 1e-3, mntot, 2.0, 6.0)
+    with pytest.raises(ValueError, match="non-resonant"):
+        eshard.evolve_esharded(
+            p, Config(N_bins_E=256, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                      non_resonant=False))
+    with pytest.raises(ValueError, match="divide"):
+        eshard.evolve_esharded(
+            p, Config(N_bins_E=60, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                      non_resonant=True, march="trisolve"))
