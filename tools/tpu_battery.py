@@ -105,6 +105,9 @@ def run(platform, fam, out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default=None)
+    ap.add_argument("--json", type=str, default="",
+                    help="append the per-family residual record to this "
+                         "JSON file (committed round artifacts)")
     args = ap.parse_args()
     fams = [args.family] if args.family else list(FAMILIES)
 
@@ -127,6 +130,23 @@ def main():
 
     worst = max(r["max_rel"] for r in results.values())
     print(json.dumps({"worst_max_rel": worst, "families": results}))
+    if args.json:
+        import datetime
+
+        rec = {
+            "tool": "tpu_battery",
+            "worst_max_rel": worst,
+            "gate": 1e-3,
+            "passed": bool(worst <= 1e-3),
+            "families": results,
+            "utc": datetime.datetime.now(datetime.timezone.utc)
+                   .isoformat(timespec="seconds"),
+        }
+        p = pathlib.Path(args.json)
+        hist = json.loads(p.read_text()) if p.exists() else []
+        hist.append(rec)
+        p.write_text(json.dumps(hist, indent=1) + "\n")
+        print(f"record appended to {p}")
     if worst > 1e-3:
         raise SystemExit("FAIL: at least one family beyond the physical gate")
 
