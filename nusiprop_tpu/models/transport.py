@@ -83,12 +83,16 @@ def _table_health(tables):
     for t in tables:
         if t is None:
             continue
-        t64 = t.astype(jnp.float64)
-        finite = jnp.isfinite(t64)
+        # reduce in the table's OWN dtype (casting a batched (NEXT,
+        # NEXT) f32 table to TPU-emulated f64 first costs real ms and
+        # HBM); only the reduced scalars are promoted
+        finite = jnp.isfinite(t)
         bad = bad + jnp.sum(~finite).astype(jnp.float64)
-        t_ok = jnp.where(finite, t64, 0.0)
-        scale = jnp.maximum(jnp.max(jnp.abs(t_ok)), 1e-300)
-        worst = jnp.minimum(worst, jnp.min(t_ok) / scale)
+        t_ok = jnp.where(finite, t, jnp.zeros((), t.dtype))
+        scale = jnp.maximum(jnp.max(jnp.abs(t_ok)),
+                            jnp.asarray(1e-30, t.dtype))
+        worst = jnp.minimum(worst,
+                            (jnp.min(t_ok) / scale).astype(jnp.float64))
     return jnp.stack([worst, bad])
 
 
@@ -579,6 +583,25 @@ def _pp_norm_builder_jit(cfg: Config, batched: bool):
 
 
 @lru_cache(maxsize=None)
+def _gt_f32_builder_jit(cfg: Config, batched: bool):
+    """Native-f32 non-resonant Gamma + alphaTilde builder (one XLA
+    program for both tables; kernels_nr_f32.nr_gamma_alphatilde_f32)."""
+    from nusiprop_tpu.models import kernels_nr_f32
+
+    def build(params):
+        gr = grids.build(cfg)
+        Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+        mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+        return kernels_nr_f32.nr_gamma_alphatilde_f32(
+            gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+            majorana=cfg.majorana)
+
+    if batched:
+        build = jax.vmap(build)
+    return jax.jit(build)
+
+
+@lru_cache(maxsize=None)
 def _alpha_f32_builder_jit(cfg: Config, batched: bool, raw: bool = False,
                            per_state: bool = False):
     from nusiprop_tpu.models import kernels_nr_f32
@@ -653,8 +676,35 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
     # conditions hold (incl. when auto would resolve to trisolve_f32)
     use_f32_alpha = _use_f32_alpha(cfg, allow_f32_march=per_state)
     use_f32_march = not per_state and _resolve_march(cfg) == "trisolve_f32"
+    # Gamma/alphaTilde join the native-f32 ladder under the same
+    # conditions as the alpha table (round 4): one small f32 program
+    # replaces the staged emulated-f64 channel programs. Dirac keeps
+    # the alphaTilde s-t/s-u interference as a staged f64 program
+    # (nr_gamma_alphatilde_f32 docstring); phi-phi channels stay f64.
+    # Follows the march pin exactly (use_f32_march OR the alpha-f32
+    # conditions) so tools/tpu_crosscheck.py --nr compares the SAME
+    # algorithm on both backends.
+    use_f32_gt = (not per_state
+                  and (use_f32_march
+                       or _use_f32_alpha(cfg, allow_f32_march=True)))
+    gt32 = None
     out = []
     for table in ("gamma", "alphatilde", "alpha"):
+        if table in ("gamma", "alphatilde") and use_f32_gt:
+            if gt32 is None:
+                gt32 = _gt_f32_builder_jit(cfg, batched)(params)
+            acc = gt32[0] if table == "gamma" else gt32[1]
+            extra = []
+            if table == "alphatilde" and not cfg.majorana:
+                extra.append("st")
+            if cfg.phiphi:
+                extra.append("pp")
+            for ch in extra:
+                acc = acc + _channel_builder_jit(
+                    cfg, table, ch, batched, per_state)(
+                        params, pp_tables, *args)
+            out.append(acc)
+            continue
         if table == "alpha" and use_f32_march:
             # native-f32 march consumes the NORMALIZED f32 table + pref
             a32, pref = _alpha_f32_builder_jit(cfg, batched, True)(params)

@@ -481,3 +481,100 @@ def test_nilpotent_solve_matches_f64_truth(ne):
         jnp.asarray(N, jnp.float32), jnp.asarray(q, jnp.float32)))
     rel = np.max(np.abs(x32 - x64) / np.abs(x64))
     assert rel < 5e-6, (ne, rel)
+
+
+class TestNrGammaAlphatildeF32:
+    """The round-4 native-f32 Gamma/alphaTilde ladder extension
+    (nr_gamma_alphatilde_f32): channel constants, accuracy vs the f64
+    closed forms where those are well-conditioned, and accuracy vs a
+    high-precision referee where they are NOT (tiny dimensionless
+    coordinates — the f64 antiderivative differences are cancellation
+    noise there, same phenomenon the alpha build documented)."""
+
+    def test_ftu_series_matches_sympy(self):
+        import sympy as sp
+
+        z = sp.symbols("z")
+        ser = sp.series(1 / z - 2 * (1 + z) * sp.log(1 + z)
+                        / (z ** 2 * (2 + z)), z, 0, 42).removeO()
+        ref = [float(ser.coeff(z, n)) for n in range(1, 42)]
+        np.testing.assert_allclose(kernels_nr_f32._FTU_COEF, ref,
+                                   rtol=1e-14)
+
+    @pytest.mark.parametrize("z0", [1e-7, 1e-5, 1e-3, 0.05, 0.55, 0.7,
+                                    5.0, 1e4])
+    def test_gamma_shapes_vs_mpmath(self, z0):
+        import mpmath as mp
+
+        mp.mp.dps = 40
+        f32 = jnp.float32
+        z1 = z0 * 1.0391
+        ds = f32(z1 - z0)
+        shapes = [
+            (kernels_nr_f32._f_t_u32,
+             lambda z: (z + 2) / (z * (z + 1)) - 2 * mp.log1p(z) / z ** 2),
+            (kernels_nr_f32._f_tu32,
+             lambda z: 1 / z - 2 * (1 + z) * mp.log1p(z)
+             / (z ** 2 * (2 + z))),
+        ]
+        for f32fn, mpfn in shapes:
+            acc = 0.0
+            for c, w in zip(kernels_nr_f32._GL3_C, kernels_nr_f32._GL3_W):
+                acc = acc + f32(w) * f32fn(f32(z0) + f32(c) * ds)
+            got = float(acc * ds)
+            true = float(mp.quad(lambda t: mpfn(mp.mpf(t)), [z0, z1]))
+            assert abs(got - true) / abs(true) < 3e-6, (z0, got, true)
+        # h_st cofactor pointwise
+        got_h = float(kernels_nr_f32._h_st32(f32(z0)))
+        true_h = float(2 * (mp.mpf(z0) - mp.log1p(mp.mpf(z0))) / mp.mpf(z0))
+        assert abs(got_h - true_h) / abs(true_h) < 3e-6
+
+    @pytest.mark.parametrize("maj", [True, False], ids=["maj", "dirac"])
+    def test_tables_vs_f64_clean_regime(self, maj):
+        """Well-conditioned coordinates (z ~ 0.03-30): the f64 closed
+        forms are trustworthy; the f32 build must match at table scale."""
+        cfg = Config(N_bins_E=150, lEmin=9.0, lEmax=14.0, zmax=5.0,
+                     non_resonant=True, majorana=maj, source="powerlaw")
+        gr_ = grids.build(cfg)
+        mn = masses.mass_spectrum(0.1, True)
+        Wf = jnp.asarray(mixing.pmns_sq(True))[2]
+        g, mphi = 1e-2, 6e5
+        kw = dict(majorana=maj, non_resonant=True, phiphi=False)
+        G64 = np.asarray(kernels.gamma_table(
+            gr_.Emin_ext, gr_.Emax_ext, mn, g, mphi, Wf, **kw))
+        At64 = np.asarray(kernels.alphatilde_table(
+            gr_.Emin_ext, gr_.Emax_ext, mn, g, mphi, Wf, **kw))
+        G32, At32 = kernels_nr_f32.nr_gamma_alphatilde_f32(
+            gr_.Emin_ext, gr_.Emax_ext, mn, g, mphi, Wf, majorana=maj)
+        G32, At32 = np.asarray(G32), np.asarray(At32)
+        if not maj:  # Dirac st stays a separate f64 program
+            At32 = At32 + np.asarray(kernels.alphatilde_table(
+                gr_.Emin_ext, gr_.Emax_ext, mn, g, mphi, Wf,
+                channel="st", **kw))
+        assert (np.abs(G32 - G64) / np.abs(G64).max()).max() < 2e-5
+        assert (np.abs(At32 - At64) / np.abs(At64).max()).max() < 2e-4
+
+    def test_gamma_more_accurate_than_f64_at_tiny_coords(self):
+        """At z ~ 1e-7 the f64 gamma_t_u closed form (and its equally
+        cancelling rescue) carries percent-level noise while the f32
+        series build tracks mpmath at ~1e-7 — the ladder's raison
+        d'etre, pinned so a revert to closed forms goes red."""
+        import mpmath as mp
+
+        from nusiprop_tpu.models import kernels_nr
+
+        mp.mp.dps = 40
+        z0, z1 = 1e-7, 1e-7 * 1.0391
+        true = float(mp.quad(
+            lambda z: (z + 2) / (z * (z + 1)) - 2 * mp.log1p(z) / z ** 2,
+            [z0, z1])) / (16 * np.pi)
+        f64v = float(kernels_nr.gamma_t_u(
+            jnp.asarray([z0]), jnp.asarray([z1]), 1.0)[0])
+        f32 = jnp.float32
+        ds = f32(z1 - z0)
+        acc = 0.0
+        for c, w in zip(kernels_nr_f32._GL3_C, kernels_nr_f32._GL3_W):
+            acc = acc + f32(w) * kernels_nr_f32._f_t_u32(f32(z0) + f32(c) * ds)
+        mine = float(acc * ds) / (16 * np.pi)
+        assert abs(mine - true) / true < 1e-6
+        assert abs(f64v - true) / true > 1e-3  # the f64 noise is real
