@@ -338,13 +338,12 @@ def main():
             _tables = _ppt.load_default()
             _pp_run = lambda cfg: (
                 lambda p: nu.grid_scan(p, cfg, pp_tables=_tables).flux)
-            # Batch 32: the measured sweet spot of the separable
-            # (grid) pp alpha build — see BENCH_NOTES round 3. (The
-            # round-2 per-pair 64-point-stencil build faulted the
-            # device at batch 64 and ran batch 8; the grid build
-            # killed that program entirely.)
+            # Batch 64 (round 4): the rank-5 bilinear MXU tail build
+            # removed the dense emulated-f64 tail intermediates that
+            # made batch 64 regress in round 3 (71x vs 110.9x at 32);
+            # measured 64 >= 32 this round (BENCH_NOTES round 4).
             regimes.append(("phiphi", _cfg(True, "auto", phiphi=True),
-                            int(os.environ.get("BENCH_PP_BATCH", "32")),
+                            int(os.environ.get("BENCH_PP_BATCH", "64")),
                             1e-3, KEY_PP, _pp_run))
         regimes.append(("s_channel_f64", _cfg(False, "rank1"), 256, 1e-2,
                         KEY_S, None))

@@ -64,6 +64,11 @@ out_path = sys.argv[3]
 import jax
 if platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
+    # XLA:CPU AOT executables are host-ISA-specific; the package's
+    # persistent cache may hold entries from a different host
+    # (cpu_aot_loader feature-mismatch warnings / SIGILL hazard —
+    # same guard as tests/conftest.py)
+    jax.config.update("jax_enable_compilation_cache", False)
 
 import nusiprop_tpu as nu
 from nusiprop_tpu.config import Config, PhysicsParams

@@ -43,8 +43,12 @@ pp = bool(int(sys.argv[8]))
 import jax
 if platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", str(%r))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # host-ISA-specific XLA:CPU AOT cache entries can SIGILL on load
+    # (same guard as tests/conftest.py); TPU executables are unaffected
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
+    jax.config.update("jax_compilation_cache_dir", str(%r))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import nusiprop_tpu as nu
 from nusiprop_tpu.config import Config

@@ -59,10 +59,16 @@ sys.exit(0 if ok else 1)
 """
 
 
-def _run(cmd, timeout=4000):
+def _run(cmd, timeout=7000):
     print("+", " ".join(cmd), flush=True)
-    return subprocess.run(cmd, cwd=ROOT, timeout=timeout,
-                          capture_output=True, text=True)
+    try:
+        return subprocess.run(cmd, cwd=ROOT, timeout=timeout,
+                              capture_output=True, text=True)
+    except subprocess.TimeoutExpired as exc:
+        print(f"TIMEOUT after {timeout}s: {' '.join(cmd)}", flush=True)
+        return subprocess.CompletedProcess(cmd, returncode=124,
+                                           stdout=str(exc.stdout or ""),
+                                           stderr="timeout")
 
 
 def main():
