@@ -240,14 +240,15 @@ def main():
     # points cascade-amplify the number flux to ~1e34, whose solve
     # intermediates exceed the f32 exponent window TPU f64-emulation
     # carries. Timing is identical (same program, data-independent).
-    # Batch 64 default: the measured NR sweet spot with the nilpotent
-    # Neumann-product march solver + 3x3 panel alpha build (8 -> 6.7k,
-    # 32 -> 18.5k, 64 -> 28.2k z-steps/s; above 32 the alpha build and march
-    # scale ~linearly with batch, so larger batches no longer
-    # amortize — see BENCH_NOTES round 2). Every distinct batch shape
-    # pays a full remote compile of the staged programs on the
-    # tunneled TPU (persistently cached; 8/32/64 are the warm shapes).
-    nr_batch = int(os.environ.get("BENCH_NR_BATCH", "64"))
+    # Batch 128 default (round 4): with the batched-doubling solve,
+    # hoisted resonance machinery, and the f32 Gamma/alphaTilde
+    # program, the NR march is per-op-latency bound, so doubling the
+    # batch amortizes the fixed per-op overhead — measured 20.1k
+    # z-steps/s at 64 vs 25.0k at 128 (+24%) same-session. Every
+    # distinct batch shape pays a full remote compile of the staged
+    # programs on the tunneled TPU (persistently cached; 64/128 are
+    # the warm shapes).
+    nr_batch = int(os.environ.get("BENCH_NR_BATCH", "128"))
 
     if nr_headline:
         cfg = _cfg(True, "auto")
