@@ -117,6 +117,50 @@ def _time_regime(cfg, batch, g0, reps, run=None):
     return (nz - 1) * batch / wall, wall
 
 
+def _stage_split(cfg, batch, g0, pp_tables=None, reps=2):
+    """Per-stage walls (ms) of a staged-table evolve: the kernel-table
+    build (alpha + Gamma/alphaTilde programs) vs the z-march consuming
+    precomputed tables — so BENCH_rNN.json regressions are attributable
+    from the artifact alone (VERDICT r4 item 6). Methodology matches
+    tools/bench_split.py; each stage fenced by a host-materialized
+    scalar reduction (see _time_regime note)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nusiprop_tpu.models import transport
+
+    params = _params(batch, g0)
+
+    def fence(tree):
+        return sum(float(jnp.sum(x.astype(jnp.float32)))
+                   for x in jax.tree.leaves(tree))
+
+    def timeit(fn):
+        fence(fn(params))  # warm/compile
+        ts = []
+        for r in range(reps):
+            p = jax.tree.map(lambda x: x * (1.0 + 1e-12 * (r + 1)), params)
+            t0 = time.perf_counter()
+            fence(fn(p))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_tables = timeit(lambda p: transport.build_tables(
+        p, cfg, pp_tables=pp_tables, batched=True))
+    tables = transport.build_tables(params, cfg, pp_tables=pp_tables,
+                                    batched=True)
+    fence(tables)
+    march = jax.jit(lambda p, t: jax.vmap(
+        lambda q, tt: transport.evolve_core(q, cfg, tables=tt))(p, t).flux)
+
+    def run_march(p):
+        return march(p, tables)
+
+    t_march = timeit(run_march)
+    return {"table_build_ms": round(t_tables * 1e3, 2),
+            "march_ms": round(t_march * 1e3, 2)}
+
+
 def _provision_backend():
     """Initialize the JAX backend, riding out transient tunnel failures.
 
@@ -313,6 +357,10 @@ def main():
         "device": str(jax.devices()[0]),
         "march": ("pallas-ds" if use_pallas else _resolve_march(cfg)),
         "non_resonant": nr_headline,
+        # production = the path auto-resolution picks on TPU; fallback
+        # regimes exist for faithfulness/debugging and are NOT the
+        # numbers a production deployment sees
+        "tier": "production",
         "secondary": {},
     }
     if err is not None:
@@ -348,6 +396,11 @@ def main():
                             1e-3, KEY_PP, _pp_run))
         regimes.append(("s_channel_f64", _cfg(False, "rank1"), 256, 1e-2,
                         KEY_S, None))
+        # which regimes a production deployment actually runs (auto
+        # resolution on TPU); s_channel_f64 is the emulated-f64
+        # faithfulness fallback and pays the documented emulation tax
+        tiers = {"non_resonant": "production", "phiphi": "production",
+                 "s_channel_f64": "fallback"}
         for name, rcfg, rbatch, rg, rkey, rrun in regimes:
             def _regime(rcfg=rcfg, rbatch=rbatch, rg=rg, rrun=rrun):
                 return _time_regime(rcfg, rbatch, rg, max(1, reps - 1),
@@ -363,8 +416,16 @@ def main():
                     "vs_baseline": vs(rz, rkey),
                     "batch": rbatch,
                     "march": _resolve_march(rcfg),
+                    "tier": tiers.get(name, "production"),
                 }
                 secondary[name].update(_roofline(name, rcfg, rbatch, rwall))
+                if name in ("non_resonant", "phiphi"):
+                    pp_t = _tables if name == "phiphi" else None
+                    stages, serr = _run_budgeted(
+                        lambda rcfg=rcfg, rbatch=rbatch, rg=rg, pp_t=pp_t:
+                        _stage_split(rcfg, rbatch, rg, pp_tables=pp_t))
+                    secondary[name]["stages"] = (
+                        stages if serr is None else {"error": serr})
 
     record["secondary"] = secondary
     _emit(record)

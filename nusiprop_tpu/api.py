@@ -43,13 +43,17 @@ class Evolver:
       coupling_matrix ---- optional (3, 3) mass-basis |g_ij|^2/g^2 for
                            non-diagonal flavor structures (overrides
                            ``flav``; see flavor_coupling_to_Q) [None]
+      extrapolation   ---- phi-phi table out-of-range policy: "clamp"
+                           (engine default) or "raise" (reference-
+                           strict: evolve() fails like the reference's
+                           exit(1), interp.hpp:354-361) [clamp]
     """
 
     def __init__(self, mphi, g, mntot, si, norm=1.0,
                  majorana=True, non_resonant=True, normal_ordering=True,
                  N_bins_E=300, lEmin=12.0, lEmax=17.0,
                  zmax=5.0, flav=2, phiphi=True, source="dsnb",
-                 coupling_matrix=None):
+                 coupling_matrix=None, extrapolation="clamp"):
         self.config = Config(
             majorana=bool(majorana),
             non_resonant=bool(non_resonant),
@@ -61,6 +65,7 @@ class Evolver:
             flav=int(flav),
             phiphi=bool(phiphi),
             source=source,
+            extrapolation=extrapolation,
         )
         self.params = PhysicsParams.create(mphi, g, mntot, si, norm)
         # Optional mass-basis coupling-squared matrix Q_ij = |g_ij|^2/g^2
@@ -170,12 +175,18 @@ class Evolver:
     # screaming (its channel checks divide by (g/mphi)^4 and compare to
     # -1e-11, nuSIprop.hpp:1215-1231)
     _HEALTH_TOL = -1e-11
+    # free-streaming gate: below this per-z-step interaction depth
+    # (transport._march_tau) the tables cannot move the flux at all, so
+    # negativity is guaranteed round-off noise — the analog of the
+    # reference normalizing its checks by the channel scale (g/mphi)^4
+    # instead of the table's own (possibly pure-noise) magnitude.
+    _HEALTH_TAU_FLOOR = 1e-10
 
     def _check_health(self):
-        """Default-on cheap health check: two scalars computed from the
-        tables the evolve already built (EvolveResult.health), warned
-        here on the host — the always-on analog of the reference's
-        per-kernel-call negative-cross-section stderr dumps
+        """Default-on cheap health check: three scalars computed from
+        the tables the evolve already built (EvolveResult.health),
+        warned here on the host — the always-on analog of the
+        reference's per-kernel-call negative-cross-section stderr dumps
         (nuSIprop.hpp:909-918, 1215-1231, 1505-1516) without a second
         table build. The full per-channel report remains
         ``evolve(audit=True)`` / ``audit()``."""
@@ -184,8 +195,12 @@ class Evolver:
         h = getattr(self._result, "health", None)
         if h is None:
             return
-        worst, nonfinite = (float(x) for x in np.asarray(h))
-        if nonfinite > 0 or worst < self._HEALTH_TOL:
+        h = np.asarray(h, dtype=np.float64)
+        worst, nonfinite = float(h[0]), float(h[1])
+        tau = float(h[2]) if h.shape[-1] > 2 else np.inf
+        dynamically_relevant = tau > self._HEALTH_TAU_FLOOR
+        if nonfinite > 0 or (worst < self._HEALTH_TOL
+                             and dynamically_relevant):
             sys.stderr.write(
                 "Negative cross section in the kernel tables (worst "
                 f"relative entry {worst:.3e}; {int(nonfinite)} non-finite "

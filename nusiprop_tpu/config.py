@@ -81,6 +81,16 @@ class Config:
     #   "f32"  — force the native f32 build on any backend (requires
     #            march='rank1_f32', or a non-resonant trisolve config).
     table_dtype: str = "auto"
+    # Out-of-table phi-phi spline lookups: the reference hard-exits
+    # (interp.hpp:354-361); this engine clamps by default (documented
+    # deviation, MIGRATION.md — clamping keeps long batched scans
+    # alive). "raise" restores the reference's strictness: evolve()
+    # counts branch-active out-of-table lookups on-device
+    # (kernels.pp_extrapolation_counts) and raises host-side if any
+    # fired — catching e.g. a bin ratio outside the tables' [0.005,
+    # 0.05]-decade delta axis, which the default policy would silently
+    # clamp in a production exclusion contour.
+    extrapolation: str = "clamp"
 
     @classmethod
     def cpp_defaults(cls, **kw) -> "Config":
@@ -117,6 +127,11 @@ class Config:
                 "table_dtype='f32' requires march='rank1_f32' (s-channel "
                 "configs) or a non-resonant trisolve/auto config (the f32 "
                 "alpha-table build)")
+        if self.extrapolation not in ("clamp", "raise"):
+            raise ValueError(
+                f"unknown extrapolation policy {self.extrapolation!r}; "
+                "use 'clamp' (engine default) or 'raise' (reference-"
+                "strict, interp.hpp:354-361)")
         if self.N_bins_E < 2:
             raise ValueError("need at least 2 energy bins")
         if self.lEmax <= self.lEmin:

@@ -452,6 +452,60 @@ def _pp_spline_grid(spl, Em, Ep, smp_s, N, dt):
     return interp_rc, col_spline
 
 
+def pp_extrapolation_counts(Em, Ep, mn, mphi, *, pp_tables):
+    """Count phi-phi spline evaluations the reference would exit(1) on.
+
+    The reference's interpolator hard-exits when a lookup coordinate
+    leaves the table (interp.hpp:354-361); this engine clamps instead
+    (documented deviation, MIGRATION.md). ``Config(extrapolation=
+    "raise")`` surfaces the difference: this function re-derives the
+    exact coordinate grids the phi-phi table builds evaluate —
+    alpha_pp_grid's separable (sminus', n, log10 delta) axes
+    (nuSIprop.hpp:1483) and alphatilde_pp's (-tplus, log10 delta)
+    (nuSIprop.hpp:1199) — and counts the branch-active,
+    kinematically-open entries that fall outside the tables. Clamped
+    coordinates on inactive entries (tail branch, closed kinematics)
+    are NOT extrapolations: the reference never evaluates those either.
+
+    Returns ``(count_alpha, count_alphatilde)`` as on-device scalars.
+    The dominant real-world trigger is the log10(delta) axis: the
+    shipped tables cover bin ratios delta in [0.005, 0.05] decades, so
+    e.g. a 50-bin run over 5 decades (delta = 0.1) would silently clamp
+    EVERY pp lookup under the default policy.
+    """
+    from nusiprop_tpu.models.kernels_nr import _COORD_FLOOR, _floor_s
+
+    N = Em.shape[0]
+    mn_c = mn[:, None]
+    inv_m2 = 1.0 / (mphi * mphi)
+    smp = 2.0 * mn_c * Em[None, :] * inv_m2
+    spp = 2.0 * mn_c * Ep[None, :] * inv_m2
+    tm = _shift_near_minus1(-smp)
+    tp = _shift_near_minus1(-spp)
+    l10d = jnp.log10(Ep[0] / Em[0])
+
+    # ---- 3-D alpha spline (alpha_pp_grid coordinates) ----
+    idx = jnp.arange(N)
+    dmat = (idx[None, :] - idx[:, None]).astype(jnp.float64)
+    smp_s = jnp.maximum(_floor_s(smp), 4.0 + 1e-12)
+    active = ((-tp >= _COORD_FLOOR)[:, :, None]
+              & (spp >= _COORD_FLOOR)[:, None, :]
+              & (smp > 4.0)[:, None, :]
+              & (dmat >= 1)[None, :, :]
+              & (smp_s < 1e4)[:, None, :])       # spline (not tail) branch
+    oob_a = pp_tables.alpha.out_of_bounds(
+        smp_s[:, None, :], (dmat * 1.0001)[None, :, :],
+        jnp.full((1, 1, 1), l10d))
+    count_alpha = jnp.sum(active & oob_a)
+
+    # ---- 2-D alphatilde spline (alphatilde_pp coordinates) ----
+    mtp = jnp.maximum(-tp, 4.0 + 1e-12)
+    active_at = (-tp > 4.0) & (-tp < 1e4) & (-tp >= _COORD_FLOOR)
+    oob_at = pp_tables.alphatilde.out_of_bounds(mtp, jnp.log10(tp / tm))
+    count_at = jnp.sum(active_at & oob_at)
+    return count_alpha, count_at
+
+
 def alpha_pp_table_norm(Em, Ep, mn, mphi, Wf, *, majorana, pp_tables):
     """NORMALIZED phi-phi alpha channel table: alpha_table(channel="pp")
     WITHOUT the g^4 coupling prefactor, in the spline-values dtype.

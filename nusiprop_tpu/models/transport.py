@@ -59,24 +59,48 @@ class EvolveResult(NamedTuple):
     Emax: jnp.ndarray      # (NE,)
     z: jnp.ndarray         # (Nz,)
     mn: jnp.ndarray        # (3,) mass eigenvalues [eV]
-    # (worst_rel_neg, nonfinite_count): default-on cheap health signal
-    # from the already-built kernel tables (_table_health) — the
+    # (worst_rel_neg, nonfinite_count, tau): default-on cheap health
+    # signal from the already-built kernel tables (_table_health) — the
     # always-on spirit of the reference's negative-cross-section
     # screams (nuSIprop.hpp:909-918, 1215-1231, 1505-1516) without a
     # second table build. Consumed by api.Evolver.evolve.
     health: jnp.ndarray = None
 
 
-def _table_health(tables):
-    """(worst_rel_neg, nonfinite_count) over the final kernel tables.
+def _march_tau(gr, tblG, pref_G=1.0):
+    """Order-of-magnitude interaction depth of the march: the largest
+    per-z-step absorption optical depth any bin can see,
+    max_z[pref * ndfac] * max|Gamma| / min(dE) (the Zdr grouping of
+    node_common, upper-bounded over nodes and bins).
+
+    This is the free-streaming gate for the health scream: when tau is
+    below round-off of 1.0 the interaction cannot move the flux at all,
+    so table negativity is guaranteed round-off noise (the reference's
+    per-channel checks normalize by the channel scale (g/mphi)^4 for
+    the same reason, nuSIprop.hpp:1215-1231 — a weak-coupling table is
+    ALLOWED to be noise). ``pref_G`` rescales normalized-table
+    conventions (kernels_f32) back to physical units.
+    """
+    zn = gr.z[1:]
+    zfac = jnp.max((1.0 + zn) * gr.dlogz / sources.get_H(zn)
+                   * sources.get_nd(zn) / (1.0 + zn) ** 2)
+    g_scale = jnp.max(jnp.abs(tblG)).astype(jnp.float64) * pref_G
+    return zfac * g_scale / jnp.min(gr.Emax - gr.Emin)
+
+
+def _table_health(tables, tau):
+    """(worst_rel_neg, nonfinite_count, tau) over the final kernel tables.
 
     worst_rel_neg = min over tables of (table min / table absmax) — a
     dimensionless negativity measure comparable across the normalized
     f32 and prefactored f64 table conventions. The reference tolerates
     per-channel negativity down to -1e-11 * (g/mphi)^4 (its channel
     scale; nuSIprop.hpp:1215-1231 comment) — api.Evolver applies the
-    same -1e-11 relative threshold. nonfinite_count counts inf/NaN
-    entries, which the reference's screams would also surface.
+    same -1e-11 relative threshold, gated on ``tau`` (_march_tau): in
+    the free-streaming regime the tables are pure round-off noise
+    around zero (worst_rel_neg -> -1) yet physically irrelevant, so no
+    scream. nonfinite_count counts inf/NaN entries, which the
+    reference's screams would also surface.
     """
     worst = jnp.asarray(0.0, jnp.float64)
     bad = jnp.asarray(0.0, jnp.float64)
@@ -93,7 +117,7 @@ def _table_health(tables):
                             jnp.asarray(1e-30, t.dtype))
         worst = jnp.minimum(worst,
                             (jnp.min(t_ok) / scale).astype(jnp.float64))
-    return jnp.stack([worst, bad])
+    return jnp.stack([worst, bad, jnp.asarray(tau, jnp.float64)])
 
 
 def _inv3(M):
@@ -985,7 +1009,10 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
         Emax=gr.Emax,
         z=z,
         mn=mn,
-        health=_table_health([tblG, tblAt, A32ext, tblA, rho_ext]),
+        health=_table_health(
+            [tblG, tblAt, A32ext, tblA, rho_ext],
+            _march_tau(gr, tblG,
+                       tbl_prefs[0] if tbl_prefs is not None else 1.0)),
     )
 
 
@@ -1004,6 +1031,40 @@ def _jitted_evolve_with_pp(cfg: Config):
     return jax.jit(lambda p, t: evolve_core(p, cfg, pp_tables=t))
 
 
+@lru_cache(maxsize=None)
+def _jitted_pp_extrap_counts(cfg: Config):
+    def run(params, pp_tables):
+        gr = grids.build(cfg)
+        mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+        ca, cat = kernels.pp_extrapolation_counts(
+            gr.Emin_ext, gr.Emax_ext, mn, params.mphi,
+            pp_tables=pp_tables)
+        return jnp.stack([ca, cat])
+
+    return jax.jit(run)
+
+
+def check_pp_extrapolation(params: PhysicsParams, cfg: Config, pp_tables):
+    """Enforce ``Config(extrapolation="raise")``: count the phi-phi
+    spline lookups that leave the tables (the reference exits there,
+    interp.hpp:354-361) on-device, raise host-side if any fired. No-op
+    when the config has no phi-phi spline path."""
+    if pp_tables is None or not (cfg.phiphi and cfg.non_resonant):
+        return
+    counts = _jitted_pp_extrap_counts(cfg)(params, pp_tables)
+    ca, cat = int(counts[0]), int(counts[1])
+    if ca or cat:
+        raise RuntimeError(
+            f"phi-phi table extrapolation: {ca} alpha and {cat} "
+            "alphaTilde lookups fall outside the loaded tables (the "
+            "reference would exit(1) here, interp.hpp:354-361). Likely "
+            "cause: the bin ratio (log10 delta = "
+            f"{(cfg.lEmax - cfg.lEmin) / cfg.N_bins_E:.4g} decades) or "
+            "energy window is outside the table axes. Regenerate wider "
+            "tables (tools/make_tables.py) or use "
+            "Config(extrapolation='clamp') to accept clamping.")
+
+
 def evolve(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
     """Evolve the flux; compiled once per Config, cached across params.
 
@@ -1011,6 +1072,8 @@ def evolve(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
     per-channel programs (build_tables) and feed them to a small jitted
     march — one monolithic program would take >19 min to compile on TPU.
     """
+    if cfg.extrapolation == "raise":
+        check_pp_extrapolation(params, cfg, pp_tables)
     if _resolve_march(cfg) not in ("rank1", "rank1_f32"):
         tables = build_tables(params, cfg, pp_tables=pp_tables)
         return _jitted_march_with_tables(cfg)(params, tables)
@@ -1122,7 +1185,8 @@ def _march_general(params: PhysicsParams, Q, tables, cfg: Config) -> EvolveResul
 
     return EvolveResult(flux=flux, flux_fla=flux_fla, E_nu=gr.E_nu,
                         Emin=gr.Emin, Emax=gr.Emax, z=z, mn=mn,
-                        health=_table_health([Geff, Ateff, Aeff]))
+                        health=_table_health([Geff, Ateff, Aeff],
+                                             _march_tau(gr, Geff)))
 
 
 @lru_cache(maxsize=None)
@@ -1141,6 +1205,8 @@ def evolve_general(params: PhysicsParams, Q, cfg: Config,
     Q = jnp.asarray(Q, dtype=jnp.float64)
     if Q.shape != (3, 3):
         raise ValueError(f"Q must be (3, 3), got {Q.shape}")
+    if cfg.extrapolation == "raise":
+        check_pp_extrapolation(params, cfg, pp_tables)
     width_factor = jnp.sum(Q)
     tables = build_tables(params, cfg, pp_tables=pp_tables, per_state=True,
                           width_factor=width_factor)

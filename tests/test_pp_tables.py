@@ -271,3 +271,56 @@ class TestEvolveWithPhiPhi:
         assert rel.max() > 1e-3
         # and not wreck the energy budget
         assert abs(ev.check_energy_conservation()) < 0.2
+
+
+class TestStrictExtrapolation:
+    """Config(extrapolation='raise'): reference-strict out-of-table
+    behavior for the phi-phi spline path (interp.hpp:354-361). The
+    realistic trigger is the log10(delta) axis — tables cover bin
+    ratios of [0.005, 0.05] decades."""
+
+    @pytest.fixture(scope="class")
+    def medium_tables(self):
+        p = DATA.parent / "pp_tables_medium.npz"
+        if not p.exists():
+            pytest.skip("medium tables not generated")
+        return pp_tables.load_npz(str(p))
+
+    def test_out_of_range_config_raises(self, medium_tables):
+        from nusiprop_tpu.config import Config, PhysicsParams
+        from nusiprop_tpu.models import transport
+
+        # 50 bins over 5 decades: delta = 0.1 decades, above the
+        # tables' 0.05 ceiling -> every active pp lookup extrapolates
+        cfg = Config(N_bins_E=50, lEmin=9, lEmax=14, non_resonant=True,
+                     phiphi=True, extrapolation="raise",
+                     source="powerlaw")
+        p = PhysicsParams.create(6e5, 0.03, 0.1, 2.5, 1.0)
+        with pytest.raises(RuntimeError, match="extrapolation"):
+            transport.check_pp_extrapolation(p, cfg, medium_tables)
+        with pytest.raises(RuntimeError, match="exit\\(1\\)"):
+            transport.evolve(p, cfg, pp_tables=medium_tables)
+
+    def test_in_range_config_passes(self, medium_tables):
+        from nusiprop_tpu.config import Config, PhysicsParams
+        from nusiprop_tpu.models import transport
+
+        # 250 bins over 5 decades: delta = 0.02, inside the table axes
+        cfg = Config(N_bins_E=250, lEmin=9, lEmax=14, non_resonant=True,
+                     phiphi=True, extrapolation="raise",
+                     source="powerlaw")
+        p = PhysicsParams.create(6e5, 0.03, 0.1, 2.5, 1.0)
+        transport.check_pp_extrapolation(p, cfg, medium_tables)  # no raise
+
+    def test_default_clamp_unchanged(self, medium_tables):
+        """The default policy stays 'clamp': the out-of-range config
+        evolves without raising (documented deviation)."""
+        from nusiprop_tpu.config import Config, PhysicsParams
+        from nusiprop_tpu.models import transport
+
+        cfg = Config(N_bins_E=50, lEmin=9, lEmax=14, non_resonant=True,
+                     phiphi=True, source="powerlaw")
+        assert cfg.extrapolation == "clamp"
+        p = PhysicsParams.create(6e5, 0.03, 0.1, 2.5, 1.0)
+        res = transport.evolve(p, cfg, pp_tables=medium_tables)
+        assert bool(jnp.isfinite(res.flux).all())

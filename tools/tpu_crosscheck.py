@@ -1,8 +1,22 @@
-"""Cross-check TPU numerics against CPU float64 ground truth.
+"""Cross-check TPU numerics against the same evolve run on CPU.
 
-Runs the same batched evolve on the attached TPU and on CPU (true f64)
-and reports worst-case per-bin disagreement over the representable
-range. This is the guard against the class of bug where the TPU's
+Runs the same batched evolve on the attached TPU and on CPU and reports
+worst-case per-bin disagreement over the representable range. What the
+CPU side IS differs by mode — each JSON record carries it as
+``referee``:
+
+* default / ``--f32``: CPU runs the true-float64 engine
+  (``referee: cpu_f64``) — an accuracy check of the TPU pipeline
+  against f64 ground truth.
+* ``--nr`` / ``--pp``: BOTH sides pin the all-f32 pipeline
+  (``referee: cpu_same_f32_pipeline``) — a hardware-FAITHFULNESS
+  check (does the TPU reproduce the algorithm bit-for-bit-ish), NOT an
+  accuracy check. The f64 closed forms are not a valid accuracy
+  referee at sub-resonance scan points (cancellation noise up to
+  ~1e9x the true kernel values); the nr/pp ACCURACY gate lives in
+  tests/test_kernels_nr_f32.py against scipy quadrature oracles.
+
+Either way this guards against the class of bug where the TPU's
 emulated-f64 exponent range (float32's) silently flushes or overflows
 an intermediate: results stay finite and plausible but wrong (see
 docs/DESIGN.md "TPU numerics hardening").
@@ -151,6 +165,11 @@ def main():
         rec = {
             "tool": "tpu_crosscheck",
             "mode": mode,
+            # what the CPU side is (see module docstring): true-f64
+            # ground truth, or the same f32 pipeline re-run on CPU
+            # (hardware faithfulness, accuracy refereed elsewhere)
+            "referee": ("cpu_same_f32_pipeline" if (args.nr or args.pp)
+                        else "cpu_f64"),
             "batch": args.batch,
             "g": args.g or None,
             "gated_bins": int(gate.sum()),
