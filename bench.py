@@ -13,8 +13,9 @@ cannot be mistaken for "the engine is Nx everywhere":
 
   * ``s_channel_f64``  — the emulated-f64 rank1 march (true-f64-faithful);
   * ``non_resonant``   — the reference's DEFAULT channel set
-    (non_resonant=true): f32 quadrature alpha table + f64 Gamma/alphaTilde
-    + trisolve march;
+    (non_resonant=true): f32 quadrature alpha table + f32-ladder
+    Gamma/alphaTilde + the fused Pallas trisolve march (ops/march_tri;
+    round 5);
   * ``phiphi``         — the reference's FULL channel set (non_resonant +
     the nu nu -> phi phi production channel via the interpolation tables,
     nuSIprop.hpp:166-170), against the phi-phi serial-C++ denominator.
@@ -150,11 +151,20 @@ def _stage_split(cfg, batch, g0, pp_tables=None, reps=2):
     tables = transport.build_tables(params, cfg, pp_tables=pp_tables,
                                     batched=True)
     fence(tables)
-    march = jax.jit(lambda p, t: jax.vmap(
-        lambda q, tt: transport.evolve_core(q, cfg, tables=tt))(p, t).flux)
+    if transport._resolve_march(cfg) == "trisolve_pallas":
+        # march stage = rows prep + layout transpose + the fused Pallas
+        # kernel + postprocess (ops/march_tri)
+        from nusiprop_tpu.ops import march_tri
 
-    def run_march(p):
-        return march(p, tables)
+        def run_march(p):
+            return march_tri.march_fused_with_tables(p, tables, cfg).flux
+    else:
+        march = jax.jit(lambda p, t: jax.vmap(
+            lambda q, tt: transport.evolve_core(q, cfg, tables=tt))(p, t)
+            .flux)
+
+        def run_march(p):
+            return march(p, tables)
 
     t_march = timeit(run_march)
     return {"table_build_ms": round(t_tables * 1e3, 2),

@@ -110,11 +110,12 @@ class Config:
                 f"{_sources.source_names()} (add your own with "
                 "sources.register_source)")
         if self.march not in ("auto", "rank1", "rank1_f32", "trisolve",
-                              "trisolve_f32", "loop"):
+                              "trisolve_f32", "trisolve_pallas", "loop"):
             raise ValueError(f"unknown march mode {self.march!r}")
-        if self.march == "trisolve_f32" and not self.non_resonant:
+        if (self.march in ("trisolve_f32", "trisolve_pallas")
+                and not self.non_resonant):
             raise ValueError(
-                "march='trisolve_f32' is the non-resonant f32 march; "
+                f"march={self.march!r} is a non-resonant march; "
                 "s-channel-only configs use march='rank1_f32'")
         if self.march_unroll < 1:
             raise ValueError("march_unroll must be >= 1")

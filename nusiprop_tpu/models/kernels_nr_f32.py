@@ -193,7 +193,8 @@ def _x_res_integral(hs, vm, vp, vsum, ds, gr, inv_gr, near,
 
 
 def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
-                    raw: bool = False, width_factor=None):
+                    raw: bool = False, width_factor=None,
+                    cols_block=None):
     """Non-resonant alpha table (s + t/u + tu + st/su channels) in
     native float32.
 
@@ -211,14 +212,36 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
     Matches kernels.alpha_table(..., non_resonant=True, phiphi=False)
     to f32 round-off; the phi-phi channel is added separately by the
     caller (transport.build_tables) in f64 when enabled.
+
+    ``cols_block=(col_offset, C)`` builds ONLY the table's column block
+    [col_offset, col_offset+C) — the storage-sharded E' march
+    (parallel/eshard) gives each device its own block so no device ever
+    materializes the full (N, N) table (SURVEY §5 >=1e4-bin scenario;
+    reference workload nuSIprop.hpp:289-291). col_offset may be traced
+    (each device derives it from its mesh axis index); C is static.
+    Returns the (N, C) block (strict-upper entries; rest zero), shaped
+    (3, N, C) for per-state, or ((N, C) f32, pref) for raw.
     """
     ga = scalar_width(g, mphi, majorana)
     if width_factor is not None:
         ga = ga * width_factor
     N = Em.shape[0]
-    rows, cols = _np.triu_indices(N, k=1)
-    rows = jnp.asarray(rows)
-    cols = jnp.asarray(cols)
+    if cols_block is not None:
+        c0, C = cols_block
+        c0 = jnp.asarray(c0, dtype=jnp.int32)
+        rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                                (N, C)).ravel()
+        cols_raw = jnp.broadcast_to(
+            c0 + jnp.arange(C, dtype=jnp.int32)[None, :], (N, C)).ravel()
+        # strict upper triangle only; clamp out-of-range/invalid pairs
+        # to a safe in-range column and zero them at assembly
+        valid = (rows < cols_raw) & (cols_raw < N)
+        cols = jnp.minimum(cols_raw, N - 1)
+    else:
+        rows, cols = _np.triu_indices(N, k=1)
+        rows = jnp.asarray(rows)
+        cols = jnp.asarray(cols)
+        valid = None
 
     # ---- f64 coordinate precompute (cheap elementwise) ----
     # Per-BIN bases first (3, N): every per-pair array is a static
@@ -250,10 +273,17 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
     gr = f(gr64)
     inv_gr = f(1.0 / gr64)
     gr2 = gr * gr
-    # per-pair gathers (static indices)
+    # per-pair gathers (static indices; traced for cols_block)
     tp_f = tpb_f[:, rows]
     smp_f = smb_f[:, cols]
+    if valid is not None:
+        # invalid (clamped) pairs: force the well-conditioned
+        # adjacent-pair geometry (x+y corner exactly 0) so no NaN can
+        # leak through the masked-out entries
+        tp_f = jnp.where(valid[None, :], tp_f, -smp_f)
     ok = (-tpb64[:, rows] >= _COORD_FLOOR) & (spb64[:, cols] >= _COORD_FLOOR)
+    if valid is not None:
+        ok = ok & valid[None, :]
     dt64 = dt_r64[:, rows]
     ds64 = ds_c64[:, cols]
     xy0_64 = smp_f + tp_f                 # x+y at the (xm, tp) corner:
@@ -347,26 +377,32 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
                     jnp.minimum(jnp.minimum(Delta, mtmd), m1c), 0.0)
                 dY = jnp.minimum(dt, Delta)         # Delta - a (exact)
                 mu = mu0 + dD                       # = -u, slice-constant
-                qv = 1.0 + mu                       # = 1 - u
+                # u-dependent factors are slice-constant: ONE reciprocal
+                # of qv = 1 - u serves u_term, interference and su
+                # (round 5: the per-x-node divisions were ~the VPU cost
+                # of this build; with r = y/(y-1) the integrand is
+                # inv_x2 * (2 r^2 + c_i r + 2 c_u) — 3 divisions per
+                # node instead of 5-6, same math to 1 ulp)
+                inv_qv = 1.0 / (1.0 + mu)
+                c_i = (2.0 * mu) * inv_qv           # 2(-u)/(1-u)
+                c_u = (mu * inv_qv) * (mu * inv_qv)
                 wgt_q = F32(wq) * lnrho * (qlo + dD) * wx
                 row_tu = zero
                 row_su = zero
                 for cx, wxw in zip(_GL3_C, _GL3_W):
-                    step = F32(cx) * wx
-                    x = smp + (a + step)
-                    y = tp_ + (dY - step)
-                    ym1 = y - 1.0
-                    inv_x2 = 1.0 / (x * x)
-                    t_term = (y * y) * inv_x2 / (ym1 * ym1)
+                    ofs = a + F32(cx) * wx
+                    x = smp + ofs
+                    y = tp_ + (dY - F32(cx) * wx)
+                    inv_x = 1.0 / x
+                    inv_x2 = inv_x * inv_x
+                    r = y / (y - 1.0)
                     if majorana:
-                        u_term = (mu * mu) * inv_x2 / (qv * qv)
-                        interf = 2.0 * y * mu * inv_x2 / (ym1 * qv)
-                        val = 2.0 * (t_term + u_term) + interf
-                        v_x = vm + (a + step)       # x - 1 (f64-derived)
+                        val = inv_x2 * (2.0 * (r * r + c_u) + c_i * r)
+                        v_x = vm + ofs              # x - 1 (f64-derived)
                         row_su = row_su + F32(wxw) * (
-                            2.0 * mu / qv * v_x / ((v_x * v_x + gr2) * x))
+                            (c_i * v_x) * inv_x / (v_x * v_x + gr2))
                     else:
-                        val = t_term
+                        val = inv_x2 * (r * r)
                     row_tu = row_tu + F32(wxw) * val
                 acc_tu = acc_tu + wgt_q * row_tu
                 acc_su = acc_su + wgt_q * row_su
@@ -427,20 +463,30 @@ def alpha_table_f32(Em, Ep, mn, g, mphi, Wf, *, majorana: bool,
             * F32(dirac_half / (8.0 * PI)))
 
     tot = nr_sum + ch_s
+    if valid is not None:
+        # the s channel carries no floor mask (reference semantics);
+        # zero the clamped out-of-block pairs here
+        tot = jnp.where(valid[None, :], tot, 0.0)
 
     # ---- eigenstate reduction and assembly ----
     g64 = jnp.asarray(g, jnp.float64)
     pref = (g64 * g64) * (g64 * g64)
     if Wf is None:  # per-state (3, N, N) for general couplings
         res_s = (f(1.0 / (2.0 * mn_c)) * tot).astype(jnp.float64) * pref
+        if valid is not None:
+            return res_s.reshape(3, N, -1)
         out = jnp.zeros((3, N, N), dtype=jnp.float64)
         return out.at[:, rows, cols].set(res_s)
     w_e = f(Wf[:, None] / (2.0 * mn_c))
     res32 = jnp.sum(w_e * tot, axis=0)  # (NT,) f32, normalized by g^4
     if raw:
+        if valid is not None:
+            return res32.reshape(N, -1), pref
         out32 = jnp.zeros((N, N), dtype=F32)
         return out32.at[rows, cols].set(res32), pref
     res = res32.astype(jnp.float64) * pref
+    if valid is not None:
+        return res.reshape(N, -1)
     out = jnp.zeros((N, N), dtype=jnp.float64)
     return out.at[rows, cols].set(res)
 

@@ -166,15 +166,18 @@ def _source_lum(cfg: Config, z_src, Emin, Emax, si, norm_total):
 def _resolve_march(cfg: Config) -> str:
     if cfg.march == "auto":
         if cfg.non_resonant:
-            # On TPU: native-f32 trisolve against the f32 quadrature
-            # alpha table (both faster AND, at the table level, more
-            # accurate than the emulated-f64 closed forms — see
-            # kernels_nr_f32). Requires production-resolution bins
-            # (the table build's GL error scales as bin-width^6).
+            # On TPU: the fused Pallas march over the f32 quadrature
+            # alpha table (ops/march_tri — same table/row pipeline as
+            # trisolve_f32, whole march in one kernel; +55% end-to-end
+            # same-session, crosschecked to 5e-6 vs the CPU twin).
+            # Requires production-resolution bins (the table build's
+            # GL error scales as bin-width^6). Contexts that cannot
+            # host a pallas_call (vmap/chunked evolve_core) fall back
+            # to trisolve_f32 inside evolve_core.
             if (jax.default_backend() == "tpu"
                     and cfg.table_dtype != "f64"
                     and (cfg.lEmax - cfg.lEmin) / cfg.N_bins_E <= 0.05):
-                return "trisolve_f32"
+                return "trisolve_pallas"
             return "trisolve"
         # On TPU the native-f32 free-streaming-preconditioned march
         # (plus its native-f32 table build) is ~30x faster than the
@@ -699,7 +702,10 @@ def build_tables(params: PhysicsParams, cfg: Config, pp_tables=None,
     # quadrature table build still applies whenever the all-f32
     # conditions hold (incl. when auto would resolve to trisolve_f32)
     use_f32_alpha = _use_f32_alpha(cfg, allow_f32_march=per_state)
-    use_f32_march = not per_state and _resolve_march(cfg) == "trisolve_f32"
+    # the fused Pallas march consumes the same normalized-f32 table
+    # contract as trisolve_f32 (ops/march_tri.py)
+    use_f32_march = (not per_state and _resolve_march(cfg)
+                     in ("trisolve_f32", "trisolve_pallas"))
     # Gamma/alphaTilde join the native-f32 ladder under the same
     # conditions as the alpha table (round 4): one small f32 program
     # replaces the staged emulated-f64 channel programs. Dirac keeps
@@ -774,6 +780,13 @@ def evolve_core(params: PhysicsParams, cfg: Config, pp_tables=None,
     NE = cfg.N_bins_E
     Nz = gr.N_steps_z
     march = _resolve_march(cfg)
+    if march == "trisolve_pallas":
+        # evolve_core runs per-element (vmap/chunked contexts) and
+        # cannot host a pallas_call; the XLA blocked-Neumann march
+        # consumes the identical table/row pipeline (solver association
+        # differs at f32 round-off). The fused kernel path lives in
+        # ops/march_tri (grid_scan / evolve dispatch there).
+        march = "trisolve_f32"
 
     Wsq = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))  # (3, 3)
     Wf = Wsq[cfg.flav]  # (3,)
@@ -1074,6 +1087,14 @@ def evolve(params: PhysicsParams, cfg: Config, pp_tables=None) -> EvolveResult:
     """
     if cfg.extrapolation == "raise":
         check_pp_extrapolation(params, cfg, pp_tables)
+    if _resolve_march(cfg) == "trisolve_pallas":
+        # the fused march is inherently batched (kernel grid over batch
+        # chunks); a single point rides as a batch of one
+        from nusiprop_tpu.ops import march_tri
+
+        res = march_tri.evolve_trisolve_fused(
+            jax.tree.map(lambda x: x[None], params), cfg, pp_tables)
+        return jax.tree.map(lambda x: x[0], res)
     if _resolve_march(cfg) not in ("rank1", "rank1_f32"):
         tables = build_tables(params, cfg, pp_tables=pp_tables)
         return _jitted_march_with_tables(cfg)(params, tables)

@@ -88,8 +88,13 @@ def grid_scan(params: PhysicsParams, cfg: Config, chunk_size: int | None = None,
     Non-resonant configurations build kernel tables with the staged
     per-channel programs (transport.build_tables) — see docs/DESIGN.md.
     """
-    if (transport._resolve_march(cfg) not in ("rank1", "rank1_f32")
-            and not chunk_size):
+    march = transport._resolve_march(cfg)
+    if march == "trisolve_pallas":
+        from nusiprop_tpu.ops import march_tri
+
+        return march_tri.evolve_trisolve_fused(params, cfg,
+                                               pp_tables=pp_tables)
+    if march not in ("rank1", "rank1_f32") and not chunk_size:
         tables = transport.build_tables(params, cfg, pp_tables=pp_tables,
                                         batched=True)
         return _march_batch_jit(params, tables, cfg)

@@ -75,27 +75,57 @@ from nusiprop_tpu.config import Config
 # noise up to ~1e9x the true kernel values (kernels_nr_f32 docstring;
 # the scipy-referee'd accuracy gate lives in tests/test_kernels_nr_f32).
 if nr or pp:
-    march = "trisolve_f32"
+    # --pallas pins the fused Pallas march (ops/march_tri) on the TPU
+    # side and its same-substitution-order plain-JAX twin on CPU;
+    # without it, the XLA blocked-Neumann trisolve_f32 on both sides.
+    march = "trisolve_pallas" if use_pallas else "trisolve_f32"
 elif use_f32:
     march = "rank1_f32"
 else:
     march = "rank1"
-cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
-             non_resonant=nr or pp, phiphi=pp, march=march)
-mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
-g0 = g_override if g_override > 0 else (1e-3 if nr or pp else 1e-2)
-params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [g0],
-                       mntot=mntot, si=2.0, norm=6.0)
+if pp:
+    # phi-phi MUST be kinematically open for this record to test the
+    # pp path: s_bar = 2 m_nu E / mphi^2 has to exceed 4 inside the
+    # energy window (nuSIprop.hpp:166-170, 880-907). The battery's
+    # high-energy window (tpu_battery FAMILIES["phiphi"]) at
+    # production resolution: lE in [9, 14], mphi in [1e5, 1e6]
+    # (s_bar up to ~6.6e3 at mntot=0.1), powerlaw source. The
+    # round-4 record used the bench window (lE in [4, 9], mphi >=
+    # 1e5) where s_bar < 1e-2 everywhere — the pp tables contributed
+    # exactly zero and the pp row was bitwise identical to nr.
+    cfg = Config(N_bins_E=500, lEmin=9.0, lEmax=14.0, zmax=5.0,
+                 non_resonant=True, phiphi=True, march=march,
+                 source="powerlaw")
+    g0 = g_override if g_override > 0 else 1e-3
+    params = nu.param_grid(np.geomspace(1e5, 1e6, batch), [g0],
+                           mntot=0.1, si=2.5, norm=1.0)
+else:
+    cfg = Config(N_bins_E=500, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                 non_resonant=nr, phiphi=False, march=march)
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    g0 = g_override if g_override > 0 else (1e-3 if nr else 1e-2)
+    params = nu.param_grid(np.geomspace(1e5, 1e8, batch), [g0],
+                           mntot=mntot, si=2.0, norm=6.0)
 pp_tables = None
 if pp:
     from nusiprop_tpu.models import pp_tables as ppt
     pp_tables = ppt.load_default()
-if use_pallas:
+if use_pallas and not (nr or pp):
     from nusiprop_tpu.ops.march_ds import evolve_pallas
     flux = np.asarray(evolve_pallas(params, cfg))
 else:
+    # nr/pp --pallas rides march='trisolve_pallas' via grid_scan
     flux = np.asarray(nu.grid_scan(params, cfg, pp_tables=pp_tables).flux_fla)
 np.save(out_path, flux)
+if pp:
+    # tables-matter precondition (cf. tests/test_sharding.py): the same
+    # evolve WITHOUT the pp channel must differ above crosscheck noise,
+    # or the record proves nothing about phi-phi physics.
+    cfg_no = Config(N_bins_E=500, lEmin=9.0, lEmax=14.0, zmax=5.0,
+                    non_resonant=True, phiphi=False, march=march,
+                    source="powerlaw")
+    flux_no = np.asarray(nu.grid_scan(params, cfg_no).flux_fla)
+    np.save(out_path + ".notables.npy", flux_no)
 print("device:", jax.devices()[0])
 """ % str(ROOT / ".jax_cache")
 
@@ -123,9 +153,12 @@ def main():
                          "regime)")
     ap.add_argument("--pp", action="store_true",
                     help="the full channel set (non_resonant + phi-phi "
-                         "production via the default spline tables), "
-                         "all-f32 pipeline pinned on both sides like "
-                         "--nr; keep --batch <= 8 (bench.py pp note)")
+                         "production via the default spline tables) in "
+                         "the kinematically-OPEN high-energy window "
+                         "(lE in [9,14], mphi in [1e5,1e6], powerlaw "
+                         "source); asserts the pp tables actually move "
+                         "the flux. All-f32 pipeline pinned on both "
+                         "sides like --nr; keep --batch <= 8")
     ap.add_argument("--json", type=str, default="",
                     help="append the residual record to this JSON file")
     args = ap.parse_args()
@@ -135,9 +168,15 @@ def main():
         cf = f"{td}/cpu.npy"
         run("tpu", tf, args.nr, args.batch, args.pallas, args.f32,
             args.g, pp=args.pp)
-        run("cpu", cf, args.nr, args.batch, False, g=args.g, pp=args.pp)
+        # nr/pp --pallas: the CPU referee is the fused march's plain-JAX
+        # twin (same substitution order); s-channel --pallas keeps the
+        # f64 CPU ground truth
+        cpu_pallas = args.pallas and (args.nr or args.pp)
+        run("cpu", cf, args.nr, args.batch, cpu_pallas, g=args.g,
+            pp=args.pp)
         tpu = np.load(tf)
         cpu = np.load(cf)
+        no_tables = np.load(tf + ".notables.npy") if args.pp else None
 
     # Gate: bins within 10 decades of each point's peak — everything an
     # experiment could see. Bins further down sit in the source's
@@ -159,9 +198,28 @@ def main():
         tail_stats = {"subthreshold_bins": int(tail.sum()),
                       "subthreshold_abs_over_peak": float(abst.max())}
     passed = bool(rel.max() <= 1e-3)
+    pp_stats = {}
+    if args.pp:
+        # tables-matter gate: the pp channel must move the gated flux
+        # well above the crosscheck noise, or this run exercised no
+        # phi-phi physics and the record is vacuous (round-4 lesson).
+        scale_t = np.abs(tpu).max(axis=(1, 2), keepdims=True)
+        gate_t = np.abs(tpu) > scale_t * 1e-10
+        eff = (np.abs(tpu - no_tables)[gate_t] / np.abs(tpu)[gate_t])
+        floor = max(100.0 * float(rel.max()), 1e-3)
+        pp_ok = bool(eff.max() > floor)
+        print(f"pp-tables effect (with vs without, gated): max rel "
+              f"{eff.max():.3e}, floor {floor:.1e} -> "
+              f"{'OK' if pp_ok else 'VACUOUS'}")
+        pp_stats = {"pp_effect_max_rel": float(eff.max()),
+                    "pp_effect_floor": floor,
+                    "pp_tables_matter": pp_ok}
+        passed = passed and pp_ok
     if args.json:
         mode = ("pp" if args.pp else "nr" if args.nr
                 else "s_f32" if args.f32 else "s_f64")
+        if args.pallas:
+            mode += "_pallas"
         rec = {
             "tool": "tpu_crosscheck",
             "mode": mode,
@@ -181,6 +239,7 @@ def main():
             "utc": datetime.datetime.now(datetime.timezone.utc)
                    .isoformat(timespec="seconds"),
             **tail_stats,
+            **pp_stats,
         }
         p = pathlib.Path(args.json)
         hist = json.loads(p.read_text()) if p.exists() else []
