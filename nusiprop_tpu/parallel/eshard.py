@@ -1,38 +1,48 @@
-"""Source-energy (E') axis sharding of the non-resonant march.
+"""Storage-sharded source-energy (E') axis march of the non-resonant
+evolve.
 
 SURVEY.md §5: for >= ~1e4 energy bins the alpha regeneration
 contraction (nuSIprop.hpp:289-291) becomes a large triangular matmul —
 "shard the E' axis across devices with a psum (the closest analog to
-sequence parallelism this workload has)". This module is that design,
-implemented with ``shard_map`` over one mesh axis:
+sequence parallelism this workload has)". At that scale the extended
+alpha TABLE ITSELF is the wall (NEXT^2 f64 ~ 800 MB at 1e4 bins), so
+sharding only the compute (the round-4 prototype) cannot scale past
+what one chip holds. This module shards BOTH:
 
-* the per-z-node window matrix K[j, m] = alpha[j, m]/dE_m is split in
-  SOURCE-bin (column) blocks across the mesh;
-* the per-node implicit system (I - diag(pu) K) y = qv (the
-  transport.z_step_trisolve closure) is solved as a D-stage block
-  back-substitution in descending energy: at stage b every device
-  contracts ITS columns of the already-solved higher-energy blocks
-  (one (S, S_local) matmul), a ``psum`` over the E' axis assembles the
-  stage's right-hand side, the device owning block b solves the S x S
-  diagonal system, and a second ``psum`` broadcasts the solved block —
-  energy flows downward exactly like the reference's descending-bin
-  sweep, device by device instead of bin by bin;
-* the final regeneration feed reg = K @ (y) reduces over the source
-  axis with one more ``psum`` — the contraction SURVEY names.
+* **Storage/build**: each device builds and holds ONLY its column
+  block of the extended table —
+  ``kernels_nr_f32.alpha_table_f32(cols_block=(d*C, C))`` evaluates
+  just the (row, col) pairs the device owns (bitwise-identical to the
+  corresponding columns of the full build; gated by
+  tests/test_sharding.py). No device ever materializes the (NEXT,
+  NEXT) table: per-device memory is ~1/D of replicated.
+* **Compute**: the per-z-node implicit solve runs as a D-stage block
+  back-substitution over EXTENDED-index blocks, and the regeneration
+  feed is one per-device matvec + ``psum`` — the contraction SURVEY
+  names.
 
-Exactness: same f64 arithmetic as march="trisolve" up to sum
-association (the block-partitioned contraction and the blocked
-back-substitution re-associate sums) — gated at 1e-12 against the
-unsharded march by tests/test_sharding.py.
+The sliding-window alignment problem (the grid-coupling window moves
+one bin per z-node, nuSIprop.hpp:268-272, so window-block ownership
+would change per step) is resolved by keeping the solve in EXTENDED
+coordinates: blocks are fixed [b*C, (b+1)*C) slices of the extended
+axis, so block b's owner is ALWAYS device b; the per-node window
+row/column scales (pu, qv, cs) are scattered into extended-padded
+vectors at the window offset, and rows/columns outside the live window
+carry zero scales — they solve to exactly zero and the block sweep
+passes through them as no-ops.
 
-Prototype scope (documented): the extended kernel table itself rides
-REPLICATED — what is sharded is the per-node O(NE^2) compute (the
-contraction and the solve), not table storage; a storage-sharded
-variant additionally needs the shifting window-to-device alignment
-resolved (the grid-coupling window slides one bin per z-node,
-nuSIprop.hpp:268-272).
+Exactness: same f64 march arithmetic as ``march='trisolve'`` consuming
+the same (f32-quadrature-built, f64-cast) tables, up to sum
+association — gated at 1e-12 against the unsharded march by
+tests/test_sharding.py, including a >=4096-bin storage-scaling demo.
+
+Scope (prototype): the Majorana non-resonant channel family — the
+SURVEY scenario. Dirac (staged f64 st channel) and phi-phi (spline
+tables) additions are not block-built yet and raise.
 """
 
+import dataclasses
+import math
 from functools import lru_cache, partial
 
 import jax
@@ -42,59 +52,83 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nusiprop_tpu.config import Config, PhysicsParams
-from nusiprop_tpu.models import grids, masses, mixing, sources, transport
+from nusiprop_tpu.models import (grids, kernels_nr_f32, masses, mixing,
+                                 sources, transport)
 
 
-def _block_trisolve(M_local, qv, d, D, S):
-    """y = (I - M)^{-1} qv with M strictly upper, column-sharded.
-
-    M_local: (NE, S) — this device's column block of M (global columns
-    [d*S, (d+1)*S)). Runs D sequential stages, highest block first.
-    Every device executes identical ops (SPMD); ``where`` masks select
-    the owning device's contribution, psum broadcasts.
-    """
-    NE = D * S
-    y = jnp.zeros(NE, dtype=qv.dtype)
-    eye = jnp.eye(S, dtype=qv.dtype)
-    for b in range(D - 1, -1, -1):
-        # stage rhs: qv_b + sum over all higher-energy solved entries;
-        # each device contracts its own columns (y entries outside its
-        # block, or not yet solved, are zero) -> psum assembles the row
-        r_partial = (M_local[b * S:(b + 1) * S, :]
-                     @ lax.dynamic_slice(y, (d * S,), (S,)))
-        r = qv[b * S:(b + 1) * S] + lax.psum(r_partial, "ecol")
-        # the device owning block b holds the diagonal block in its
-        # local columns; everyone solves (identical op shape), the mask
-        # keeps only the owner's result and psum broadcasts it
-        M_bb = lax.dynamic_slice(M_local, (b * S, 0), (S, S))
-        y_b = jax.scipy.linalg.solve_triangular(
-            eye - M_bb, r, lower=False, unit_diagonal=True)
-        y_b = jnp.where(d == b, y_b, jnp.zeros_like(y_b))
-        y_b = lax.psum(y_b, "ecol")
-        y = lax.dynamic_update_slice(y, y_b, (b * S,))
-    return y
+def local_table_bytes(cfg: Config, D: int) -> tuple[int, int]:
+    """(per-device block bytes, replicated full-table bytes) for the
+    f64-cast alpha table at this config — the storage-scaling claim the
+    >=4096-bin test measures."""
+    NEXT = grids.build(cfg).Emin_ext.shape[0]
+    C = -(-NEXT // D)
+    NP = D * C
+    return NP * C * 8, NEXT * NEXT * 8
 
 
-def _march_esharded(params: PhysicsParams, tables, cfg: Config, D: int):
-    """march='trisolve' with the per-node solve + contraction sharded
-    over the E' (source-bin) axis; runs INSIDE shard_map (axis 'ecol')."""
+def _build_block(params: PhysicsParams, cfg: Config, D: int, C: int):
+    """Runs INSIDE shard_map: build ONLY this device's extended-column
+    block of the alpha table, rows zero-padded to NP = D*C."""
+    gr = grids.build(cfg)
+    NEXT = gr.Emin_ext.shape[0]
+    d = lax.axis_index("ecol")
+    Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+    mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+    A_loc = kernels_nr_f32.alpha_table_f32(
+        gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+        majorana=cfg.majorana, cols_block=(d * C, C))   # (NEXT, C) f64
+    return jnp.pad(A_loc, ((0, D * C - NEXT), (0, 0)))
+
+
+@lru_cache(maxsize=None)
+def _build_jit(cfg: Config, mesh, D: int, C: int):
+    def build(params):
+        fn = jax.shard_map(
+            partial(_build_block, cfg=cfg, D=D, C=C),
+            mesh=mesh, in_specs=(P(),), out_specs=P(None, "ecol"),
+            check_vma=False)
+        return fn(params)
+
+    return jax.jit(build)
+
+
+def build_alpha_sharded(params: PhysicsParams, cfg: Config, mesh,
+                        D: int, C: int):
+    """The extended alpha table as a COLUMN-SHARDED global (NP, NP)
+    array: each device builds and holds only its (NP, C) block (a
+    sharded jax.Array — no device ever materializes the full table).
+    Exposed so tests can feed the byte-identical table to the unsharded
+    referee (the f32 build's rounding depends on the compiled program,
+    so bitwise comparisons must share the built array, not rebuild)."""
+    return _build_jit(cfg, mesh, D, C)(params)
+
+
+def _march_esharded(params: PhysicsParams, tblG, tblAt, A_loc, lum_all,
+                    cfg: Config, D: int, C: int):
+    """Runs INSIDE shard_map (axis 'ecol'): the extended-block
+    back-substitution march over this device's (NP, C) table block.
+
+    ``lum_all`` (the per-node source integrals) is precomputed by the
+    caller: the DSNB source's polylogarithm differences are
+    cancellation-prone, so their rounding is compilation-context
+    dependent at up to ~1e-7 relative — evaluating them once outside
+    and threading the ARRAY in keeps the sharded march bitwise
+    consistent with any referee fed the same array (and skips
+    re-evaluating the polylog chains inside the scan)."""
     gr = grids.build(cfg)
     NE = cfg.N_bins_E
     Nz = gr.N_steps_z
-    assert NE % D == 0, (NE, D)
-    S = NE // D
+    NP = D * C
     d = lax.axis_index("ecol")
 
     Wsq = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))
     Wf = Wsq[cfg.flav]
-    mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
-    norm_total = params.norm / sources.flux_fs_e0(params.si, gr.zmax_eff)
-    tblG, tblAt, tblA = tables
 
     dE = gr.Emax - gr.Emin
     inv_dE = 1.0 / dE
     z = gr.z
     Wf2 = Wf * Wf
+    eyeC = jnp.eye(C, dtype=jnp.float64)
 
     def z_step(flux, xs_i):
         i, lum = xs_i
@@ -111,72 +145,130 @@ def _march_esharded(params: PhysicsParams, tables, cfg: Config, D: int):
         pu = U @ Wf
         qv = V @ Wf
 
-        # THIS device's column block of the windowed kernel matrix
-        K_local = lax.dynamic_slice(
-            tblA, (i - 1, i - 1 + d * S), (NE, S)) * ndfac
-        K_local = K_local * lax.dynamic_slice(inv_dE, (d * S,), (S,))[None, :]
-        M_local = pu[:, None] * K_local
+        # scatter window scales into extended-padded coordinates: the
+        # window [i-1, i-1+NE) is live, everything else is inert zero
+        z0 = jnp.zeros(NP, dtype=jnp.float64)
+        pu_e = lax.dynamic_update_slice(z0, pu, (i - 1,))
+        qv_e = lax.dynamic_update_slice(z0, qv, (i - 1,))
+        ivd_e = lax.dynamic_update_slice(z0, inv_dE, (i - 1,))
+        ivd_loc = lax.dynamic_slice(ivd_e, (d * C,), (C,))
+        # rounding association matches z_step_trisolve exactly:
+        # (A * ndfac) * inv_dE — entrywise-bitwise-equal K, so the
+        # 1e-12 exactness gate measures only sum re-association
+        K_loc = (A_loc * ndfac) * ivd_loc[None, :]   # (NP, C)
 
-        y = _block_trisolve(M_local, qv, d, D, S)
+        # D-stage extended-block back-substitution, highest block first;
+        # block b's columns belong to device b by construction (static
+        # ownership — the window slides, the blocks do not)
+        def stage(s, y):
+            b = D - 1 - s
+            r0 = b * C
+            Kb = lax.dynamic_slice(K_loc, (r0, 0), (C, C))
+            y_loc = lax.dynamic_slice(y, (d * C,), (C,))
+            r_sum = lax.psum(Kb @ y_loc, "ecol")
+            pu_b = lax.dynamic_slice(pu_e, (r0,), (C,))
+            r = lax.dynamic_slice(qv_e, (r0,), (C,)) + pu_b * r_sum
+            M_bb = pu_b[:, None] * Kb
+            y_b = jax.scipy.linalg.solve_triangular(
+                eyeC - M_bb, r, lower=False, unit_diagonal=True)
+            y_b = jnp.where(d == b, y_b, jnp.zeros_like(y_b))
+            y_b = lax.psum(y_b, "ecol")
+            return lax.dynamic_update_slice(y, y_b, (r0,))
+
+        y = lax.fori_loop(0, D, stage, z0)
+
         # regeneration feed: the E'-axis psum contraction (SURVEY §5)
-        reg = lax.psum(
-            K_local @ lax.dynamic_slice(y, (d * S,), (S,)), "ecol")
+        y_loc = lax.dynamic_slice(y, (d * C,), (C,))
+        reg_e = lax.psum(K_loc @ y_loc, "ecol")
+        reg = lax.dynamic_slice(reg_e, (i - 1,), (NE,))
         x = V + reg[:, None] * U
         return x.T, None
 
     flux0 = jnp.zeros((3, NE), dtype=jnp.float64)
     steps = jnp.arange(Nz - 1, 0, -1)
-    lum_all = jax.vmap(
-        lambda zz: sources.lum(cfg.source, zz, gr.Emin, gr.Emax,
-                               params.si, norm_total))(z[steps])
     flux, _ = lax.scan(z_step, flux0, (steps, lum_all))
     flux = flux * inv_dE[None, :]
     return flux, Wsq @ flux
 
 
 @lru_cache(maxsize=None)
-def _esharded_jit(cfg: Config, mesh, D: int):
-    from jax.experimental.shard_map import shard_map
-
+def _esharded_jit(cfg: Config, mesh, D: int, C: int):
     repl = P()
 
-    def run(params, tables):
-        fn = shard_map(
-            partial(_march_esharded, cfg=cfg, D=D),
+    def run(params, tblG, tblAt, A_sharded, lum_all):
+        fn = jax.shard_map(
+            partial(_march_esharded, cfg=cfg, D=D, C=C),
             mesh=mesh,
-            in_specs=(repl, repl),
+            in_specs=(repl, repl, repl, P(None, "ecol"), repl),
             out_specs=(repl, repl),
-            check_rep=False,
+            check_vma=False,
         )
-        return fn(params, tables)
+        return fn(params, tblG, tblAt, A_sharded, lum_all)
 
     return jax.jit(run)
 
 
 def evolve_esharded(params: PhysicsParams, cfg: Config, mesh=None,
                     pp_tables=None):
-    """Non-resonant f64 evolve with the per-node alpha solve/contraction
-    sharded over the mesh's E' axis. Returns (flux, flux_fla).
+    """Non-resonant f64 evolve with the alpha table's STORAGE and the
+    per-node solve/contraction sharded over the mesh's E' axis. Returns
+    (flux, flux_fla).
 
-    Requires a non-resonant config whose march resolves to 'trisolve'
-    semantics; N_bins_E must divide by the mesh size.
+    Each device builds only its extended-column block of the alpha
+    table (no device materializes the full (NEXT, NEXT) array); the
+    Gamma/alphaTilde tables (O(N)) ride replicated. See the module
+    docstring for the extended-block solve design.
     """
     if not cfg.non_resonant:
         raise ValueError("E'-axis sharding targets the non-resonant "
                          "(dense-alpha) march")
+    if pp_tables is not None:
+        # cfg.phiphi without loaded tables is inert (the reference only
+        # loads the splines when non_resonant && phiphi,
+        # nuSIprop.hpp:166-170)
+        raise ValueError("phi-phi channel is not block-built yet; the "
+                         "storage-sharded E' march covers the "
+                         "non-resonant closed-form channel family")
+    if not cfg.majorana:
+        raise ValueError("Dirac alphaTilde needs the staged f64 st "
+                         "channel, which is not block-built yet")
+    if (cfg.lEmax - cfg.lEmin) / cfg.N_bins_E > 0.05:
+        raise ValueError(
+            "the f32 quadrature block build needs production-resolution "
+            "bins (<= 0.05 decades/bin; GL error ~ bin width^6) — use "
+            "more bins or the unsharded f64 march")
     if mesh is None:
         devs = jax.devices()
         mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("ecol",))
     D = int(mesh.devices.size)
-    if cfg.N_bins_E % D != 0:
-        raise ValueError(f"N_bins_E={cfg.N_bins_E} must divide the "
-                         f"{D}-device E' mesh")
-    import dataclasses
+    gr = grids.build(cfg)
+    NEXT = gr.Emin_ext.shape[0]
+    C = -(-NEXT // D)
 
-    cfg64 = dataclasses.replace(cfg, march="trisolve", table_dtype="f64")
-    tables = transport.build_tables(params, cfg64, pp_tables=pp_tables)
+    # Gamma/alphaTilde: same f32-ladder build the trisolve_f32 path
+    # uses (O(N), replicated); built once outside shard_map
+    cfg_b = dataclasses.replace(cfg, march="trisolve")
+    mn = masses.mass_spectrum(params.mntot, cfg.normal_ordering)
+    Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+    tblG, tblAt = kernels_nr_f32.nr_gamma_alphatilde_f32(
+        gr.Emin_ext, gr.Emax_ext, mn, params.g, params.mphi, Wf,
+        majorana=cfg.majorana)
+
+    # source integrals evaluated ONCE, eagerly: the DSNB polylog
+    # differences are cancellation-prone and compilation-context
+    # sensitive (~1e-7 relative across program boundaries) — see
+    # _march_esharded docstring
+    norm_total = params.norm / sources.flux_fs_e0(params.si, gr.zmax_eff)
+    steps = jnp.arange(grids.n_steps_z(cfg) - 1, 0, -1)
+    lum_all = jax.vmap(
+        lambda zz: sources.lum(cfg.source, zz, gr.Emin, gr.Emax,
+                               params.si, norm_total))(gr.z[steps])
+
     repl = NamedSharding(mesh, P())
-    tables = jax.tree.map(lambda x: jax.device_put(x, repl), tables)
+    tblG, tblAt, lum_all = (jax.device_put(t, repl)
+                            for t in (tblG, tblAt, lum_all))
     params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), repl),
                           params)
-    return _esharded_jit(cfg64, mesh, D)(params, tables)
+    A_sharded = build_alpha_sharded(params, cfg_b, mesh, D, C)
+    return _esharded_jit(cfg_b, mesh, D, C)(params, tblG, tblAt, A_sharded,
+                                            lum_all)

