@@ -96,7 +96,12 @@ if pp:
     cfg = Config(N_bins_E=500, lEmin=9.0, lEmax=14.0, zmax=5.0,
                  non_resonant=True, phiphi=True, march=march,
                  source="powerlaw")
-    g0 = g_override if g_override > 0 else 1e-3
+    # g = 0.03 (the tables-matter coupling of
+    # tests/test_sharding.py's phi-phi precondition): the phi-phi
+    # channel scales as g^4, and at the bench's weak g = 1e-3 it moves
+    # the flux only ~2e-5 — kinematically open but still vacuous as
+    # evidence
+    g0 = g_override if g_override > 0 else 0.03
     params = nu.param_grid(np.geomspace(1e5, 1e6, batch), [g0],
                            mntot=0.1, si=2.5, norm=1.0)
 else:
