@@ -114,18 +114,36 @@ def _make_kernel(NE: int, NXP: int, Nz: int, W_static):
         c2e = pltpu.roll(CS * pu, offset, 1)
         ext_iota = lax.broadcasted_iota(jnp.int32, (Bc, NXP), 1)
 
-        def body(jj, carry):
+        def one_bin(jj, carry):
             cy, pvec = carry
             j = NE - 1 - jj
             row = A_s[offset + j]                           # (Bc, NXP)
             p = jnp.sum(row * cy, axis=1, keepdims=True)    # (Bc, 1)
-            cy = jnp.where(ext_iota == offset + j, c1e + c2e * p, cy)
-            pvec = jnp.where(ext_iota == j, p, pvec)
+            # ONE iota compare serves both updates: pvec lives in
+            # extended coords too and is un-rolled once after the loop
+            mask = ext_iota == offset + j
+            cy = jnp.where(mask, c1e + c2e * p, cy)
+            pvec = jnp.where(mask, p, pvec)
             return cy, pvec
 
+        # manual 4-way unroll (Mosaic fori_loop supports only
+        # unroll=1/full): amortizes per-iteration loop overhead
+        _U = 4
+
+        def body(t, carry):
+            base = t * _U
+            for k in range(_U):
+                carry = one_bin(base + k, carry)
+            return carry
+
         zeros = jnp.zeros((Bc, NXP), f32)
-        _, pvec = lax.fori_loop(0, NE, body, (zeros, zeros))
-        reg = PT * pvec
+        carry = lax.fori_loop(0, NE // _U, body, (zeros, zeros))
+        for jj in range(NE - NE % _U, NE):
+            carry = one_bin(jj, carry)
+        _, pvec = carry
+        # un-roll pvec from extended back to window coords (modular
+        # left-shift by offset; all wrapped lanes are zeros)
+        reg = PT * pltpu.roll(pvec, NXP - offset, 1)
         for k in range(3):
             x = V[k] + reg * U[k]
             phi_s[k] = x
